@@ -1,0 +1,258 @@
+"""Typed configuration tree for GraphEcho-TPU.
+
+Reproduces every knob of the reference's inline config dicts
+(`/root/reference/train_camus_echo.py:546-637`, `train_cardiac_uda.py:645-736`)
+plus the model hyper-parameters the reference hardcodes in constructors
+(`models/graph_matching.py:108-137`, `models/TGCN.py:170`), expressed as frozen
+dataclasses so the whole tree is hashable and can be closed over by `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Per-view foreground part counts, matching the reference's `parts_num`
+# (`train_camus_echo.py:42`, `train_cardiac_uda.py:55`).
+PARTS_NUM = {"1": 2, "2": 1, "3": 2, "4": 4}
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Mirrors the reference per-component `opt` block."""
+
+    opt_name: str = "Adam"  # 'Adam' | 'SGD'
+    lr: float = 3e-4
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    betas: Tuple[float, float] = (0.9, 0.999)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    """Mirrors the reference `sch` block (WarmupMultiStepLR,
+    `utils/lr_scheduler.py:9-51`). Stepped per-epoch by the trainers."""
+
+    steps: Tuple[int, ...] = (90000,)
+    gamma: float = 0.1
+    warmup_factor: float = 1.0 / 3
+    warmup_iters: int = 1000
+    warmup_method: str = "constant"  # 'constant' | 'linear'
+
+
+@dataclasses.dataclass(frozen=True)
+class ComponentConfig:
+    opt: OptimizerConfig = OptimizerConfig()
+    sch: ScheduleConfig = ScheduleConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """FPN segmenter (reference `models/fpnseg.py:309-444`)."""
+
+    backbone: str = "resnet"  # 'resnet' | 'VGG16'
+    in_channels: int = 1
+    num_classes: int = 1  # segmentation output channels
+    fpn_channels: int = 256
+    semantic_channels: int = 128
+    # dtype used for conv compute; params stay float32.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeSamplerConfig:
+    """Static-shape re-design of PrototypeComputation
+    (`models/graph_matching.py:861-1065`). The reference samples a
+    data-dependent number of nodes; on TPU we use fixed per-level budgets with
+    validity masks."""
+
+    # Reference: ≤100(+99) positives/level via strided subsample
+    # (`graph_matching.py:985-991`); we use a static budget.
+    pos_budget_per_level: int = 100
+    # Reference: bg count = num_pos // bg_ratio (`graph_matching.py:1001`).
+    bg_ratio: int = 8
+    class_threshold: float = 0.5  # target pseudo-label threshold (`:1026`)
+    bg_threshold: float = 0.05  # target background threshold (`:1027`)
+    fpn_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)  # (`:611`)
+    # FCOS size-of-interest ranges per level (`graph_matching.py:875-881`).
+    sizes_of_interest: Tuple[Tuple[float, float], ...] = (
+        (-1.0, 64.0),
+        (64.0, 128.0),
+        (128.0, 256.0),
+        (256.0, 512.0),
+        (512.0, 1e8),
+    )
+
+    @property
+    def bg_budget_per_level(self) -> int:
+        return max(self.pos_budget_per_level // self.bg_ratio, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GModuleConfig:
+    """Graph-matching UDA head (reference `models/graph_matching.py:101-206`).
+    All flags the reference hardcodes in the constructor are exposed here with
+    the reference's values as defaults."""
+
+    in_channels: int = 256
+    num_classes: int = 1
+    matching_cfg: str = "o2o"  # 'o2o' | 'm2m' | 'none'
+    matching_loss_type: str = "FL"  # 'FL' | 'L1' | 'MSE'
+    with_cluster_update: bool = True
+    with_semantic_completion: bool = True
+    with_quadratic_matching: bool = True
+    with_domain_interaction: bool = True
+    with_complete_graph: bool = True
+    with_node_dis: bool = True
+    node_dis_place: str = "feat"  # 'feat' | 'intra' | 'inter'
+    with_score_weight: bool = False
+    weight_matching: float = 0.1
+    weight_nodes: float = 1.0
+    weight_dis: float = 0.1
+    lambda_dis: float = 0.02
+    sinkhorn_iters: int = 20  # (`graph_matching.py:575`)
+    seed_cluster_min_nodes: int = 20  # k in update_seed (`:534`)
+    # Static node budget per (class, domain) after class-grouped regrouping.
+    # The reference concatenates variable-length per-class node lists
+    # (`:381-483`); we use fixed per-class slots with validity masks.
+    nodes_per_class: int = 112
+    sampler: NodeSamplerConfig = NodeSamplerConfig()
+
+    @property
+    def num_node_classes(self) -> int:
+        """Label space size for nodes. The reference assigns target
+        pseudo-labels `argmax+1` (`graph_matching.py:1043`) while source labels
+        are `0..num_classes-1` (`:923`), so labels span 0..num_classes.
+        We size seed banks / classifier for the full range."""
+        return self.num_classes + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Per-level patch discriminator (reference `models/fpnseg.py:447-511`)."""
+
+    num_convs: int = 4
+    in_channels: int = 256
+    grad_reverse_lambda: float = 0.02  # (`train_camus_echo.py:77-80`)
+    grl_applied_domain: str = "both"
+    loss_weight: float = 0.1  # (`train_camus_echo.py:226-227`)
+
+
+@dataclasses.dataclass(frozen=True)
+class TGCNConfig:
+    """Temporal graph module (reference `models/TGCN.py:168-223`)."""
+
+    input_dim: int = 256
+    hidden_dim: int = 256
+    clip_shape: Tuple[int, int, int] = (8, 8, 8)  # (T, H, W) of the node grid
+    knn_k: int = 9
+    cluster_method: Optional[str] = None  # None|'momentum_queue'|'linear_clustering'
+    transport_method: str = "node_discriminate"  # |'sinkhorn_distance'
+    queue_size: int = 150  # K (`TGCN.py:194`)
+    queue_momentum: float = 0.99
+    pool_ratios: Tuple[int, ...] = (8, 4, 2, 1)  # r (`train_camus_echo.py:278`)
+    source_class: int = 100
+    target_class: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class SinkhornConfig:
+    """OT head (reference `utils/sinkhorn_distance.py:5-91`)."""
+
+    eps: float = 0.1
+    max_iter: int = 5
+    reduction: str = "mean"
+
+
+@dataclasses.dataclass(frozen=True)
+class CycleConfig:
+    """Temporal cycle-consistency loss (reference `train_cardiac_uda.py:428-494`)."""
+
+    target_region: int = 16
+    cyc_off: int = 2
+    chunk_size: int = 4
+    temperature: float = 10.0
+    clip_length: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    img_res: Tuple[int, int] = (124, 124)
+    img_crop: Tuple[int, int] = (112, 112)
+    clip_length: int = 8
+    total_length: int = 40
+    view_num: str = "2"
+    seg_parts: bool = True
+    batch_size: int = 8
+    target_batch_mult: int = 21  # target loader bs multiplier (`train_camus_echo.py:165`)
+    num_workers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Top-level training config (reference `__main__` dicts)."""
+
+    num_epochs: int = 400
+    cyc_loss: bool = False
+    temporal_graph: bool = False
+    graph_matching: bool = True
+    discriminator: bool = True
+    seg_parts: bool = True
+    record_params: bool = False
+    save_dir: str = "./result/model"
+    log_dir: str = "./result/log"
+    seed: int = 123
+    debug_nans: bool = False  # reference leaves detect_anomaly always-on; we gate it
+    # TPU mesh axes: data parallel size (None = all local devices).
+    mesh_data: Optional[int] = None
+    net: ComponentConfig = ComponentConfig(opt=OptimizerConfig("Adam", 3e-4))
+    gmn: ComponentConfig = ComponentConfig(opt=OptimizerConfig("SGD", 2.5e-3))
+    dis: ComponentConfig = ComponentConfig(opt=OptimizerConfig("SGD", 2.5e-3))
+    tgcn: ComponentConfig = ComponentConfig(opt=OptimizerConfig("SGD", 2.5e-3))
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Everything needed to build and run one experiment."""
+
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    model: ModelConfig = ModelConfig()
+    gmodule: GModuleConfig = GModuleConfig()
+    dis: DiscriminatorConfig = DiscriminatorConfig()
+    tgcn: TGCNConfig = TGCNConfig()
+    sinkhorn: SinkhornConfig = SinkhornConfig()
+    cycle: CycleConfig = CycleConfig()
+
+
+def camus_echo_config(**overrides) -> ExperimentConfig:
+    """CAMUS→EchoNet experiment, reference `train_camus_echo.py:546-637`.
+
+    view '2' + seg_parts → out_channels = 1 (`train_camus_echo.py:60`)."""
+    view = overrides.pop("view_num", "2")
+    seg_parts = overrides.pop("seg_parts", True)
+    out_ch = PARTS_NUM[view] if seg_parts else 1
+    return ExperimentConfig(
+        train=TrainConfig(seg_parts=seg_parts, **overrides),
+        data=DataConfig(img_res=(124, 124), img_crop=(112, 112), view_num=view,
+                        seg_parts=seg_parts),
+        model=ModelConfig(backbone="resnet", in_channels=1, num_classes=out_ch),
+        gmodule=GModuleConfig(num_classes=out_ch),
+    )
+
+
+def cardiac_uda_config(**overrides) -> ExperimentConfig:
+    """CardiacUDA experiment, reference `train_cardiac_uda.py:57-92`.
+
+    out_channels = parts_num[view] + 1 (explicit BG channel,
+    `train_cardiac_uda.py:72-73`); VGG16 backbone."""
+    view = overrides.pop("view_num", "4")
+    seg_parts = overrides.pop("seg_parts", True)
+    out_ch = PARTS_NUM[view] + 1 if seg_parts else 1
+    return ExperimentConfig(
+        train=TrainConfig(seg_parts=seg_parts, **overrides),
+        data=DataConfig(img_res=(328, 328), img_crop=(256, 256), view_num=view,
+                        seg_parts=seg_parts, target_batch_mult=1),
+        model=ModelConfig(backbone="VGG16", in_channels=1, num_classes=out_ch),
+        gmodule=GModuleConfig(num_classes=out_ch),
+    )
