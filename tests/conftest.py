@@ -1,19 +1,28 @@
 """Test configuration: run on an 8-device virtual CPU mesh.
 
 Mirrors the TPU multi-chip topology without hardware, per the project test
-strategy (SURVEY.md §4): XLA_FLAGS host-platform device count + JAX_PLATFORMS
-must be set before jax initializes.
+strategy (SURVEY.md §4).
+
+Environment gotcha: this machine's sitecustomize imports jax at interpreter
+start with JAX_PLATFORMS=axon (the TPU tunnel), so setting the env var here is
+too late — we must go through jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize; config still settable)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} — XLA_FLAGS was "
+    "probably consumed before conftest ran")

@@ -1,0 +1,251 @@
+"""Tests for the graph-matching stack: attention parity, affinity parity,
+box/FCOS sampling, spectral clustering, and GModule end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from graphecho_tpu.config import GModuleConfig, NodeSamplerConfig
+from graphecho_tpu.models import Affinity, GModule, MultiHeadAttention
+from graphecho_tpu.ops.sampling import (
+    NodeSet,
+    compute_locations,
+    fcos_labels,
+    masks_to_boxes,
+    sample_nodes,
+)
+from graphecho_tpu.ops.spectral import spectral_bipartition
+
+
+# --------------------------------------------------------------- attention
+def _torch_mha_v2(key, value, query, wk, bk, wv, bv, wq, bq, wf, bf, g, b):
+    """Reference MultiHeadAttention v2, heads=1, no dropout
+    (transformer.py:43-75) re-run in torch."""
+    residual = query
+    k = key @ wk.T + bk
+    v = value @ wv.T + bv
+    q = query @ wq.T + bq
+    scale = k.shape[-1] ** -0.5
+    attn = torch.softmax(q @ k.T * scale, dim=-1)
+    ctx = attn @ v
+    out = ctx @ wf.T + bf
+    out = torch.nn.functional.layer_norm(residual + out, (out.shape[-1],), g, b)
+    return out, attn
+
+
+def test_mha_matches_reference_v2():
+    rng = np.random.RandomState(0)
+    n, c = 13, 32
+    x = rng.randn(n, c).astype(np.float32)
+    mha = MultiHeadAttention(model_dim=c, num_heads=1, dropout=0.0)
+    variables = mha.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x),
+                         jnp.asarray(x))
+    out, attn = mha.apply(variables, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x))
+
+    p = variables["params"]
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    want_out, want_attn = _torch_mha_v2(
+        t(x), t(x), t(x),
+        t(p["linear_k"]["kernel"]).T, t(p["linear_k"]["bias"]),
+        t(p["linear_v"]["kernel"]).T, t(p["linear_v"]["bias"]),
+        t(p["linear_q"]["kernel"]).T, t(p["linear_q"]["bias"]),
+        t(p["linear_final"]["kernel"]).T, t(p["linear_final"]["bias"]),
+        t(p["layer_norm"]["scale"]), t(p["layer_norm"]["bias"]))
+    np.testing.assert_allclose(np.asarray(out), want_out.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn), want_attn.numpy(), atol=2e-5)
+
+
+def test_mha_key_mask():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    mask = jnp.asarray([True] * 5 + [False] * 3)
+    mha = MultiHeadAttention(model_dim=16, num_heads=1)
+    variables = mha.init(jax.random.PRNGKey(0), x, x, x)
+    _, attn = mha.apply(variables, x, x, x, key_mask=mask)
+    assert np.asarray(attn)[:, 5:].max() < 1e-6
+
+
+# ---------------------------------------------------------------- affinity
+def test_affinity_matches_concat_mlp():
+    """The split-weight fused form must equal the reference concat-expand MLP."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(7, 16).astype(np.float32))
+    y = jnp.asarray(rng.randn(9, 16).astype(np.float32))
+    aff = Affinity(d=16)
+    variables = aff.init(jax.random.PRNGKey(0), x, y)
+    got = np.asarray(aff.apply(variables, x, y))
+
+    p = variables["params"]
+    xp = np.asarray(x) @ np.asarray(p["project_sr"]["kernel"])
+    yp = np.asarray(y) @ np.asarray(p["project_tg"]["kernel"])
+    w1 = np.concatenate([np.asarray(p["fc1_wx"]), np.asarray(p["fc1_wy"])], 0)
+    cat = np.concatenate([np.repeat(xp[:, None], 9, 1),
+                          np.repeat(yp[None, :], 7, 0)], -1)
+    hid = np.maximum(cat @ w1 + np.asarray(p["fc1_b"]), 0)
+    want = hid @ np.asarray(p["fc2_w"]) + np.asarray(p["fc2_b"])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------- sampling
+def test_masks_to_boxes():
+    m = np.zeros((1, 10, 12, 2), np.float32)
+    m[0, 2:5, 3:8, 0] = 1  # ys 2..4, xs 3..7
+    boxes = np.asarray(masks_to_boxes(jnp.asarray(m)))
+    np.testing.assert_allclose(boxes[0, 0], [3, 2, 7, 4])
+    np.testing.assert_allclose(boxes[0, 1], [0, 0, 12, 10])  # empty -> full
+
+
+def test_fcos_labels_reference_semantics():
+    """Compare against a torch re-run of compute_targets_for_locations."""
+    rng = np.random.RandomState(3)
+    h = w = 16
+    locs = compute_locations([(h, w)], [8])[0]
+    boxes = jnp.asarray([[[10.0, 10.0, 90.0, 80.0], [20.0, 20.0, 60.0, 50.0]]])
+    soi = (-1.0, 64.0)
+    got = np.asarray(fcos_labels(locs, boxes, soi))[0]
+
+    # torch re-run (graph_matching.py:913-959)
+    xs = torch.from_numpy(np.asarray(locs[:, 0]))
+    ys = torch.from_numpy(np.asarray(locs[:, 1]))
+    bx = torch.tensor([[10.0, 10, 90, 80], [20, 20, 60, 50]])
+    area = (bx[:, 3] - bx[:, 1]) * (bx[:, 2] - bx[:, 0])
+    l = xs[:, None] - bx[:, 0][None]
+    t = ys[:, None] - bx[:, 1][None]
+    r = bx[:, 2][None] - xs[:, None]
+    b = bx[:, 3][None] - ys[:, None]
+    reg = torch.stack([l, t, r, b], dim=2)
+    in_box = reg.min(dim=2)[0] > 0
+    maxreg = reg.max(dim=2)[0]
+    cared = (maxreg >= soi[0]) & (maxreg <= soi[1])
+    a = area[None].repeat(len(xs), 1).clone()
+    a[in_box == 0] = 1e8
+    a[cared == 0] = 1e8
+    mn, idx = a.min(dim=1)
+    labels = idx.clone()
+    labels[mn == 1e8] = 0
+    np.testing.assert_array_equal(got, labels.numpy())
+
+
+def test_sample_nodes_budgets_and_masks():
+    rng = np.random.RandomState(4)
+    cfg = NodeSamplerConfig(pos_budget_per_level=16)
+    feats = [jnp.asarray(rng.randn(2, s, s, 8).astype(np.float32))
+             for s in (16, 8, 4, 2)]
+    masks = np.zeros((2, 64, 64, 2), np.float32)
+    masks[:, 10:50, 10:50, 0] = 1
+    masks[:, 20:40, 20:30, 1] = 1
+    boxes = masks_to_boxes(jnp.asarray(masks))
+    ns = sample_nodes(feats, boxes, cfg)
+    n_per_level = 16 + cfg.bg_budget_per_level
+    assert ns.points.shape == (4 * n_per_level, 8)
+    assert ns.valid.dtype == jnp.bool_
+    v = np.asarray(ns.valid)
+    labs = np.asarray(ns.labels)
+    assert v.any()
+    assert (labs[v] >= 0).all() and (labs[v] <= 1).all()
+    # padded slots are zeroed
+    assert np.abs(np.asarray(ns.points)[~v]).max() == 0
+    # jit-compatible with static shapes
+    jitted = jax.jit(lambda f, b: sample_nodes(f, b, cfg))
+    ns2 = jitted(feats, boxes)
+    np.testing.assert_array_equal(np.asarray(ns2.labels), labs)
+
+
+# ---------------------------------------------------------------- spectral
+def test_spectral_bipartition_separates_clusters():
+    rng = np.random.RandomState(5)
+    a = rng.randn(12, 8).astype(np.float32) * 0.1
+    b = rng.randn(10, 8).astype(np.float32) * 0.1 + 5.0
+    pts = jnp.asarray(np.concatenate([a, b]))
+    pad = jnp.zeros((6, 8))
+    pts = jnp.concatenate([pts, pad])
+    valid = jnp.asarray([True] * 22 + [False] * 6)
+    assign = np.asarray(spectral_bipartition(pts, valid))
+    assert (assign[:12] == assign[0]).all()
+    assert (assign[12:22] == assign[12]).all()
+    assert assign[0] != assign[12]
+    assert (assign[22:] == -1).all()
+
+
+# ----------------------------------------------------------------- GModule
+def _toy_nodeset(rng, n, c, num_classes, n_valid):
+    pts = rng.randn(n, c).astype(np.float32)
+    labels = rng.randint(0, num_classes, size=n).astype(np.int32)
+    valid = np.zeros(n, bool)
+    valid[:n_valid] = True
+    return NodeSet(points=jnp.asarray(pts * valid[:, None]),
+                   labels=jnp.asarray(labels),
+                   weights=jnp.asarray(valid.astype(np.float32)),
+                   valid=jnp.asarray(valid))
+
+
+def test_gmodule_end_to_end():
+    rng = np.random.RandomState(6)
+    cfg = GModuleConfig(in_channels=32, num_classes=3, nodes_per_class=16)
+    gm = GModule(cfg)
+    src = _toy_nodeset(rng, 64, 32, 3, 40)
+    tgt = _toy_nodeset(rng, 64, 32, 3, 30)
+    seeds = (jnp.asarray(rng.randn(3, 32).astype(np.float32)),
+             jnp.asarray(rng.randn(3, 32).astype(np.float32)))
+    variables = gm.init({"params": jax.random.PRNGKey(0),
+                         "gmodule": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+    losses, new_seeds, (g1, g2) = gm.apply(
+        variables, src, tgt, seeds, train=True,
+        rngs={"gmodule": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+    # reference loss-dict keys (train_camus_echo.py:222; graph_matching.py:270,341,346,350)
+    assert set(losses) == {"dis_loss", "node_loss", "mat_loss_aff", "mat_loss_qu"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # seeds updated for present classes
+    assert not np.allclose(np.asarray(new_seeds[0]), np.asarray(seeds[0]))
+    assert g1.nodes.shape == (3 * 16, 32)
+
+
+def test_gmodule_few_source_nodes_gates_losses():
+    rng = np.random.RandomState(7)
+    cfg = GModuleConfig(in_channels=32, num_classes=3, nodes_per_class=16)
+    gm = GModule(cfg)
+    src = _toy_nodeset(rng, 64, 32, 3, 5)  # < 6 valid source nodes
+    tgt = _toy_nodeset(rng, 64, 32, 3, 30)
+    seeds = (jnp.asarray(rng.randn(3, 32).astype(np.float32)),
+             jnp.asarray(rng.randn(3, 32).astype(np.float32)))
+    variables = gm.init({"params": jax.random.PRNGKey(0),
+                         "gmodule": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+    losses, new_seeds, _ = gm.apply(
+        variables, src, tgt, seeds, train=True,
+        rngs={"gmodule": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+    for k, v in losses.items():
+        assert float(v) == 0.0, k  # early-exit semantics (graph_matching.py:259-260)
+    np.testing.assert_allclose(np.asarray(new_seeds[0]), np.asarray(seeds[0]))
+
+
+def test_gmodule_hallucination_when_class_missing():
+    rng = np.random.RandomState(8)
+    cfg = GModuleConfig(in_channels=32, num_classes=3, nodes_per_class=16)
+    gm = GModule(cfg)
+    src = _toy_nodeset(rng, 64, 32, 3, 40)
+    # target has ONLY class 0 nodes
+    tgt_pts = rng.randn(64, 32).astype(np.float32)
+    tgt = NodeSet(points=jnp.asarray(tgt_pts),
+                  labels=jnp.zeros(64, jnp.int32),
+                  weights=jnp.ones(64, jnp.float32),
+                  valid=jnp.asarray([True] * 30 + [False] * 34))
+    seeds = (jnp.asarray(rng.randn(3, 32).astype(np.float32)),
+             jnp.asarray(rng.randn(3, 32).astype(np.float32)))
+    variables = gm.init({"params": jax.random.PRNGKey(0),
+                         "gmodule": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+    losses, _, (g1, g2) = gm.apply(
+        variables, src, tgt, seeds, train=True,
+        rngs={"gmodule": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+    # classes 1,2 exist in source; target side must have hallucinated validity
+    v2 = np.asarray(g2.valid).reshape(3, 16)
+    v1 = np.asarray(g1.valid).reshape(3, 16)
+    for c in (1, 2):
+        if v1[c].any():
+            assert v2[c].sum() == v1[c].sum()  # mirrored count
+    for v in losses.values():
+        assert np.isfinite(float(v))
