@@ -1,0 +1,92 @@
+"""Dense kNN graph construction on TPU.
+
+Re-implements the reference ViG graph builders
+(`/root/reference/models/vig.py:232-381`): pairwise squared-distance matrices
+computed under stop-gradient, top-k neighbour selection, optional dilation.
+
+TPU mapping: the distance matrix is one MXU matmul (-2 x·yᵀ) plus rank-1
+corrections; neighbour selection is `jax.lax.top_k` (TPU sort). Unlike the
+reference there is no >10k chunked path — at ViG node counts (≤ 4096) the full
+(N, N) matrix is small; the Pallas fused kernel in
+`graphecho_tpu.ops.pallas.knn_kernel` covers larger N without materializing
+the full matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_distance(x: jnp.ndarray, y: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """x: (B, N, C), y: (B, M, C) -> (B, N, M) squared Euclidean distances.
+    Computed under stop_gradient like the reference's `with torch.no_grad()`
+    (`vig.py:240,270`)."""
+    x = jax.lax.stop_gradient(x)
+    y = x if y is None else jax.lax.stop_gradient(y)
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (B, N, 1)
+    y_sq = jnp.sum(y * y, axis=-1, keepdims=True)  # (B, M, 1)
+    inner = jnp.einsum("bnc,bmc->bnm", x, y, preferred_element_type=jnp.float32)
+    return x_sq - 2.0 * inner + jnp.swapaxes(y_sq, -2, -1)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize(p=2) semantics: x / max(||x||, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def dense_knn(x: jnp.ndarray, y: Optional[jnp.ndarray] = None, k: int = 16,
+              relative_pos: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """kNN indices of each x-node among y-nodes (y defaults to x).
+
+    x: (B, N, C), y: (B, M, C) -> nn_idx (B, N, k) int32.
+    Mirrors `dense_knn_matrix`/`xy_dense_knn_matrix` (`vig.py:277-329`); the
+    reference also returns a center-index tensor which is just broadcast
+    arange — callers here use implicit centers.
+    """
+    dist = pairwise_sq_distance(x, y)
+    if relative_pos is not None:
+        dist = dist + relative_pos
+    _, nn_idx = jax.lax.top_k(-dist, k)
+    return nn_idx.astype(jnp.int32)
+
+
+def dilated_knn_graph(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                      k: int = 9, dilation: int = 1,
+                      relative_pos: Optional[jnp.ndarray] = None,
+                      stochastic: bool = False,
+                      rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """L2-normalize then kNN over k*dilation neighbours, take every
+    `dilation`-th (`DenseDilatedKnnGraph`, `vig.py:357-381`). With
+    `stochastic` and an rng, sample k of the k*d candidates instead
+    (`DenseDilated`, `:344-351`)."""
+    xn = l2_normalize(x, axis=-1)
+    yn = l2_normalize(y, axis=-1) if y is not None else None
+    idx = dense_knn(xn, yn, k * dilation, relative_pos)
+    if stochastic and rng is not None:
+        perm = jax.random.permutation(rng, k * dilation)[:k]
+        return idx[..., perm]
+    return idx[..., ::dilation]
+
+
+def gather_neighbors(y: jnp.ndarray, nn_idx: jnp.ndarray) -> jnp.ndarray:
+    """y: (B, M, C), nn_idx: (B, N, k) -> (B, N, k, C) neighbour features
+    (`batched_index_select`, `vig.py:209-229`)."""
+    return jnp.take_along_axis(y[:, :, None, :],
+                               nn_idx[..., None].astype(jnp.int32),
+                               axis=1)
+
+
+def knn_edges_reference_format(x: jnp.ndarray, y: Optional[jnp.ndarray],
+                               k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (nn_idx, center_idx) like the reference stack layout
+    (`vig.py:308-309`) — for parity tests."""
+    nn_idx = dense_knn(x, y, k)
+    b, n, _ = nn_idx.shape
+    center = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :, None],
+                              (b, n, k))
+    return nn_idx, center

@@ -1,0 +1,168 @@
+"""Tests for ViG graph primitives, DeepGCN, and TGCN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from graphecho_tpu.config import TGCNConfig
+from graphecho_tpu.models.tgcn import TGCN
+from graphecho_tpu.models.vig import DeepGCN, MRConv, get_2d_sincos_pos_embed
+from graphecho_tpu.ops.knn import (
+    dense_knn,
+    dilated_knn_graph,
+    gather_neighbors,
+    l2_normalize,
+    pairwise_sq_distance,
+)
+
+
+def test_pairwise_distance_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 10, 6).astype(np.float32)
+    got = np.asarray(pairwise_sq_distance(jnp.asarray(x)))
+    xt = torch.from_numpy(x)
+    inner = -2 * torch.matmul(xt, xt.transpose(2, 1))
+    sq = torch.sum(xt * xt, dim=-1, keepdim=True)
+    want = (sq + inner + sq.transpose(2, 1)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_dense_knn_matches_torch_topk():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 20, 8).astype(np.float32)
+    k = 5
+    got = np.asarray(dense_knn(jnp.asarray(x), k=k))
+    xt = torch.from_numpy(x)
+    inner = -2 * torch.matmul(xt, xt.transpose(2, 1))
+    sq = torch.sum(xt * xt, dim=-1, keepdim=True)
+    dist = sq + inner + sq.transpose(2, 1)
+    _, want = torch.topk(-dist, k=k)
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want.numpy(), -1))
+
+
+def test_xy_knn_normalized():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 12, 4).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, 12, 4).astype(np.float32))
+    idx = dilated_knn_graph(x, y, k=3, dilation=1)
+    assert idx.shape == (1, 12, 3)
+    assert int(idx.max()) < 12
+    # dilation: k*d candidates, every d-th kept
+    idx_d = dilated_knn_graph(x, y, k=3, dilation=2)
+    assert idx_d.shape == (1, 12, 3)
+
+
+def test_gather_neighbors():
+    x = jnp.arange(24, dtype=jnp.float32).reshape(1, 6, 4)
+    idx = jnp.asarray([[[0, 2], [1, 3], [5, 0], [2, 2], [4, 1], [3, 5]]])
+    out = np.asarray(gather_neighbors(x, idx))
+    assert out.shape == (1, 6, 2, 4)
+    np.testing.assert_allclose(out[0, 0, 1], np.asarray(x)[0, 2])
+    np.testing.assert_allclose(out[0, 2, 0], np.asarray(x)[0, 5])
+
+
+def test_mrconv_interleave_semantics():
+    """MRConv must interleave [x_c0, agg_c0, x_c1, agg_c1, ...] (vig.py:104)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 6, 8).astype(np.float32))
+    idx = dense_knn(x, k=3)
+    m = MRConv(out_channels=8, act="gelu", norm=None)
+    variables = m.init(jax.random.PRNGKey(0), x, idx)
+    out = m.apply(variables, x, idx)
+    assert out.shape == (1, 6, 8)
+    # grouped conv kernel must consume 2*C channels in 4 groups
+    kshape = variables["params"]["nn"]["conv_0"]["kernel"].shape
+    assert kshape == (1, 16 // 4, 8)
+
+
+def test_sincos_matches_reference_numpy():
+    """Port parity for the 2D sincos embedding (vig.py:38-85)."""
+    got = get_2d_sincos_pos_embed(16, 4)
+
+    def ref_1d(embed_dim, pos):
+        omega = np.arange(embed_dim // 2, dtype=np.float64)
+        omega /= embed_dim / 2.0
+        omega = 1.0 / 10000**omega
+        pos = pos.reshape(-1)
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(4, dtype=np.float32)
+    grid_w = np.arange(4, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0).reshape(2, 1, 4, 4)
+    want = np.concatenate([ref_1d(8, grid[0]), ref_1d(8, grid[1])], axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_deepgcn_tiny_forward():
+    model = DeepGCN(blocks=(1, 1), channels=(8, 16), k=4, n_classes=10,
+                    img_size=32)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tgcn_end_to_end():
+    """Canonical contract from the reference smoke block (TGCN.py:328-339),
+    scaled down: clip pyramid + GModule nodes -> loss dict + updated queues."""
+    cfg = TGCNConfig(input_dim=32, hidden_dim=32, clip_shape=(4, 8, 8),
+                     knn_k=4, cluster_method="momentum_queue",
+                     queue_size=20, pool_ratios=(8, 4, 2, 1))
+    rng = np.random.RandomState(4)
+    b, t = 4, 4
+    clips = [jnp.asarray(rng.randn(b, t, s, s, 32).astype(np.float32))
+             for s in (64, 32, 16, 8)]
+    src_nodes = jnp.asarray(rng.randn(33, 32).astype(np.float32))
+    tgt_nodes = jnp.asarray(rng.randn(29, 32).astype(np.float32))
+    src_valid = jnp.asarray([True] * 30 + [False] * 3)
+    tgt_valid = jnp.ones(29, bool)
+    queues = (jnp.asarray(rng.randn(32, 20).astype(np.float32)),
+              jnp.asarray(rng.randn(32, 20).astype(np.float32)))
+    idx = (jnp.asarray([0, 5]), jnp.asarray([3, 7]))
+
+    model = TGCN(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           clips, src_nodes, src_valid, tgt_nodes, tgt_valid,
+                           queues, idx)
+    (losses, new_queues), _ = model.apply(
+        variables, clips, src_nodes, src_valid, tgt_nodes, tgt_valid,
+        queues, idx, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert set(losses) == {"clustering_loss", "node_dis_loss"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    # queue columns at update indices changed, others untouched
+    dq = np.abs(np.asarray(new_queues[0]) - np.asarray(queues[0])).max(axis=0)
+    assert dq[0] > 0 and dq[5] > 0
+    assert dq[1] == 0 and dq[19] == 0
+
+
+def test_tgcn_sinkhorn_transport():
+    cfg = TGCNConfig(input_dim=16, hidden_dim=16, clip_shape=(2, 4, 4),
+                     knn_k=3, cluster_method=None,
+                     transport_method="sinkhorn_distance",
+                     pool_ratios=(4, 2, 1, 1))
+    rng = np.random.RandomState(5)
+    clips = [jnp.asarray(rng.randn(2, 2, s, s, 16).astype(np.float32))
+             for s in (16, 8, 4, 4)]
+    nodes = jnp.asarray(rng.randn(10, 16).astype(np.float32))
+    valid = jnp.ones(10, bool)
+    queues = (jnp.zeros((16, 5)), jnp.zeros((16, 5)))
+    idx = (jnp.asarray([0]), jnp.asarray([1]))
+    model = TGCN(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           clips, nodes, valid, nodes, valid, queues, idx)
+    (losses, _), _ = model.apply(
+        variables, clips, nodes, valid, nodes, valid, queues, idx,
+        train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert "sinkhorn_loss" in losses
+    assert np.isfinite(float(losses["sinkhorn_loss"]))
