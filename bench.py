@@ -1,0 +1,82 @@
+"""Benchmark: EchoNet video-segmentation inference throughput (frames/sec/chip).
+
+The measured path is the reference's batched video validation
+(`/root/reference/train_cardiac_uda.py:376-426`): (B·T, 1, H, W) frames →
+FPN forward → sigmoid > 0.5 → binary masks, at the CAMUS/EchoNet resolution
+(112², ResNet50-quirk backbone — `train_camus_echo.py:61,96`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / (5 x RTX3090-estimate): BASELINE.json's north star is
+>=5x an RTX 3090 on this path; the repo publishes no number, so we use a
+measured-elsewhere estimate of ~900 fps for a B=64 112² FPN-ResNet50 fp16
+forward on a 3090 (documented in BENCHMARKS.md) until the reference number is
+recorded by the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+RTX3090_FPS_ESTIMATE = 900.0  # see module docstring
+BASELINE_TARGET = 5.0 * RTX3090_FPS_ESTIMATE
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graphecho_tpu.config import camus_echo_config
+    from graphecho_tpu.train.steps import build_models
+
+    cfg = camus_echo_config()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    fpn = build_models(cfg)["fpn"]
+
+    batch = 256  # frames per device step (video frames flattened into batch)
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 112, 112, 1),
+                    jnp.float32)
+    variables = fpn.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def infer_chained(variables, x):
+        """Returns (pred, next_x): the next input depends on this prediction,
+        so iterations form a true dependency chain. The TPU tunnel on this
+        host elides enqueued computations whose results are never consumed —
+        unchained timing loops report impossible (>peak-FLOPs) rates."""
+        logits, _ = fpn.apply(variables, x, train=False)
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8)
+        feedback = pred.astype(jnp.float32).mean() * 1e-6
+        return pred, x + feedback
+
+    # compile + warmup (np.asarray: on this host only a device-to-host fetch
+    # forces execution; block_until_ready alone reports elided work)
+    out, carry = infer_chained(variables, x)
+    np.asarray(carry)
+
+    trials = []
+    iters = 40
+    for _ in range(5):
+        carry = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, carry = infer_chained(variables, carry)
+        float(carry.mean())  # host fetch of the chain tail
+        trials.append(time.perf_counter() - t0)
+    dt = sorted(trials)[len(trials) // 2]
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "echonet_seg_inference_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

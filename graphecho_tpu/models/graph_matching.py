@@ -74,12 +74,18 @@ def _select_class(nodes: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray,
 
 def _masked_mean_std(x: jnp.ndarray, valid: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Column-wise mean/std over valid rows (std unbiased like torch .std(0))."""
+    """Column-wise mean/std over valid rows (std unbiased like torch .std(0)).
+
+    Double-where guards the sqrt: with zero/one valid rows var is exactly 0 and
+    sqrt'(0)=inf would poison gradients through the untaken branch of any
+    downstream `jnp.where` (0 * inf = NaN in the cotangent)."""
     f = valid.astype(x.dtype)[:, None]
     cnt = jnp.maximum(jnp.sum(f), 1.0)
     mean = jnp.sum(x * f, axis=0) / cnt
     var = jnp.sum(((x - mean) ** 2) * f, axis=0) / jnp.maximum(cnt - 1.0, 1.0)
-    return mean, jnp.sqrt(var)
+    ok = var > 1e-12
+    std = jnp.where(ok, jnp.sqrt(jnp.where(ok, var, 1.0)), 0.0)
+    return mean, std
 
 
 def _masked_instance_norm(m: jnp.ndarray, pair_valid: jnp.ndarray,
@@ -150,93 +156,101 @@ class GModule(nn.Module):
                         nodes_s_proj: jnp.ndarray, nodes_t_proj: jnp.ndarray,
                         seeds: Tuple[jnp.ndarray, jnp.ndarray],
                         rng: jax.Array) -> Tuple[GroupedNodes, GroupedNodes]:
-        """Static-shape `_forward_preprocessing_source_target` (`:381-483`)."""
+        """Static-shape `_forward_preprocessing_source_target` (`:381-483`).
+
+        All per-class work is vmapped over the class axis — an unrolled Python
+        loop multiplies the XLA graph by num_classes and blows up TPU compile
+        time. Module calls (seed_project_left) are hoisted out of the vmap and
+        applied to the stacked (C, S, D) tensor.
+        """
         cfg = self.cfg
         S = cfg.nodes_per_class
+        C = cfg.num_classes
         sr_seed, tg_seed = seeds
+        classes = jnp.arange(C, dtype=jnp.int32)
 
-        out_s_nodes, out_t_nodes = [], []
-        out_s_valid, out_t_valid = [], []
-        labels_c = []
-        for c in range(cfg.num_classes):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            sn0, sv0 = _select_class(nodes_s_proj, src.labels, src.valid, c, S)
-            tn0, tv0 = _select_class(nodes_t_proj, tgt.labels, tgt.valid, c, S)
-            s_cnt = jnp.sum(sv0.astype(jnp.int32))
-            t_cnt = jnp.sum(tv0.astype(jnp.int32))
-            s_present = s_cnt > 0
-            t_present = t_cnt > 0
+        def select(proj, labels, valid, c):
+            return _select_class(proj, labels, valid, c, S)
 
-            # hallucinated source nodes from the seed bank (`:432-449`)
-            base_s = jnp.broadcast_to(sr_seed[c], (S, sr_seed.shape[1]))
-            _, t_std = _masked_mean_std(tn0, tv0)
-            if cfg.with_semantic_completion:
-                few = t_cnt < 5
-                noise = jax.random.normal(k1, base_s.shape, base_s.dtype)
-                hall_s = jnp.where(few, base_s + 0.01 * noise, base_s + noise * t_std)
-            else:
-                hall_s = 0.01 * jax.random.normal(k1, base_s.shape, base_s.dtype)
-            hall_s = self.seed_project_left(hall_s)
+        sn0, sv0 = jax.vmap(lambda c: select(nodes_s_proj, src.labels,
+                                             src.valid, c))(classes)
+        tn0, tv0 = jax.vmap(lambda c: select(nodes_t_proj, tgt.labels,
+                                             tgt.valid, c))(classes)
+        s_cnt = jnp.sum(sv0.astype(jnp.int32), axis=1)  # (C,)
+        t_cnt = jnp.sum(tv0.astype(jnp.int32), axis=1)
+        s_present = s_cnt > 0
+        t_present = t_cnt > 0
 
-            base_t = jnp.broadcast_to(tg_seed[c], (S, tg_seed.shape[1]))
-            _, s_std = _masked_mean_std(sn0, sv0)
-            if cfg.with_semantic_completion:
-                few = s_cnt < 5
-                noise = jax.random.normal(k2, base_t.shape, base_t.dtype)
-                hall_t = jnp.where(few, base_t + 0.01 * noise, base_t + noise * s_std)
-            else:
-                hall_t = 0.01 * jax.random.normal(k2, base_t.shape, base_t.dtype)
-            hall_t = self.seed_project_left(hall_t)
+        k1, k2 = jax.random.split(rng)
+        noise_s = jax.random.normal(k1, (C, S, sr_seed.shape[1]), sn0.dtype)
+        noise_t = jax.random.normal(k2, (C, S, tg_seed.shape[1]), tn0.dtype)
+        _, t_std = jax.vmap(_masked_mean_std)(tn0, tv0)  # (C, D)
+        _, s_std = jax.vmap(_masked_mean_std)(sn0, sv0)
 
-            # select real vs hallucinated; a class present in neither domain
-            # stays fully invalid (reference skips it entirely)
-            use_hall_s = (~s_present) & t_present
-            use_hall_t = (~t_present) & s_present
-            sn = jnp.where(use_hall_s, hall_s, sn0)
-            sv = jnp.where(use_hall_s, tv0, sv0)  # mirror the other domain's count
-            tn = jnp.where(use_hall_t, hall_t, tn0)
-            tv = jnp.where(use_hall_t, sv0, tv0)
+        # hallucinated nodes from the seed bank (`:432-449`): with fewer than 5
+        # real nodes in the mirrored domain, sigma=0.01; else the other
+        # domain's per-feature std
+        base_s = jnp.broadcast_to(sr_seed[:, None, :], noise_s.shape)
+        base_t = jnp.broadcast_to(tg_seed[:, None, :], noise_t.shape)
+        if cfg.with_semantic_completion:
+            few_t = (t_cnt < 5)[:, None, None]
+            hall_s = jnp.where(few_t, base_s + 0.01 * noise_s,
+                               base_s + noise_s * t_std[:, None, :])
+            few_s = (s_cnt < 5)[:, None, None]
+            hall_t = jnp.where(few_s, base_t + 0.01 * noise_t,
+                               base_t + noise_t * s_std[:, None, :])
+        else:
+            hall_s = 0.01 * noise_s
+            hall_t = 0.01 * noise_t
+        hall_s = self.seed_project_left(hall_s)
+        hall_t = self.seed_project_left(hall_t)
 
-            out_s_nodes.append(sn)
-            out_t_nodes.append(tn)
-            out_s_valid.append(sv)
-            out_t_valid.append(tv)
-            labels_c.append(jnp.full((S,), c, jnp.int32))
+        # real vs hallucinated per class; a class present in neither domain
+        # stays fully invalid (reference skips it entirely)
+        use_hall_s = ((~s_present) & t_present)[:, None]
+        use_hall_t = ((~t_present) & s_present)[:, None]
+        sn = jnp.where(use_hall_s[..., None], hall_s, sn0)
+        sv = jnp.where(use_hall_s, tv0, sv0)  # mirror the other domain's count
+        tn = jnp.where(use_hall_t[..., None], hall_t, tn0)
+        tv = jnp.where(use_hall_t, sv0, tv0)
 
-        g = lambda parts: jnp.concatenate(parts, axis=0)
-        labels = g(labels_c)
-        vs = g(out_s_valid)
-        vt = g(out_t_valid)
-        grouped_s = GroupedNodes(g(out_s_nodes) * vs[:, None], labels,
+        labels = jnp.repeat(classes, S)
+        vs = sv.reshape(-1)
+        vt = tv.reshape(-1)
+        d = sn.shape[-1]
+        grouped_s = GroupedNodes(sn.reshape(-1, d) * vs[:, None], labels,
                                  vs.astype(jnp.float32), vs)
-        grouped_t = GroupedNodes(g(out_t_nodes) * vt[:, None], labels,
+        grouped_t = GroupedNodes(tn.reshape(-1, d) * vt[:, None], labels,
                                  vt.astype(jnp.float32), vt)
         return grouped_s, grouped_t
 
     def _update_seeds(self, nodes: jnp.ndarray, labels: jnp.ndarray,
                       valid: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
         """EMA seed update with spectral sub-clustering (`update_seed`,
-        `:532-567`). Runs on stop-gradient node features."""
+        `:532-567`). Runs on stop-gradient node features, vmapped over
+        classes (the nodes arrive grouped: class c owns slots [c*S, (c+1)*S))."""
         cfg = self.cfg
-        nodes = jax.lax.stop_gradient(nodes)
-        new_seed = seed
-        for c in range(cfg.num_classes):
-            mask = (labels == c) & valid
-            cnt = jnp.sum(mask.astype(jnp.int32))
-            f = mask.astype(nodes.dtype)[:, None]
-            plain_mean = jnp.sum(nodes * f, axis=0) / jnp.maximum(
-                jnp.sum(f), 1.0)
+        S = cfg.nodes_per_class
+        C = cfg.num_classes
+        nodes = jax.lax.stop_gradient(nodes).reshape(C, S, -1)
+        valid_c = valid.reshape(C, S)
+
+        def one_class(seed_c, nodes_c, valid_c):
+            cnt = jnp.sum(valid_c.astype(jnp.int32))
+            f = valid_c.astype(nodes_c.dtype)[:, None]
+            plain_mean = jnp.sum(nodes_c * f, axis=0) / jnp.maximum(jnp.sum(f), 1.0)
             if cfg.with_cluster_update:
-                cl_mean, ok = seed_consistent_mean(seed[c], nodes, mask)
+                cl_mean, ok = seed_consistent_mean(seed_c, nodes_c, valid_c)
                 use_cluster = (cnt > cfg.seed_cluster_min_nodes) & ok
                 bs = jnp.where(use_cluster, cl_mean, plain_mean)
             else:
                 bs = plain_mean
-            cos = jnp.sum(bs * seed[c]) / jnp.maximum(
-                jnp.linalg.norm(bs) * jnp.linalg.norm(seed[c]), 1e-8)
-            updated = seed[c] * cos + bs * (1.0 - cos)
-            new_seed = new_seed.at[c].set(jnp.where(cnt > 0, updated, seed[c]))
-        return new_seed
+            cos = jnp.sum(bs * seed_c) / jnp.maximum(
+                jnp.linalg.norm(bs) * jnp.linalg.norm(seed_c), 1e-8)
+            updated = seed_c * cos + bs * (1.0 - cos)
+            return jnp.where(cnt > 0, updated, seed_c)
+
+        return jax.vmap(one_class)(seed, nodes, valid_c)
 
     def _matching_losses(self, g1: GroupedNodes, g2: GroupedNodes,
                          edges_1: jnp.ndarray, edges_2: jnp.ndarray

@@ -52,10 +52,10 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     d = jnp.where(pair_valid, d, big)
     d = jnp.where(jnp.eye(n, dtype=bool), big, d)  # exclude self from kNN
 
-    # rank-based kNN: j is a neighbour of i if fewer than k entries of row i
-    # are strictly closer (ties broken by column index for determinism)
-    order_key = d * n + jnp.arange(n)[None, :]
-    rank = jnp.sum(order_key[:, :, None] > order_key[:, None, :], axis=-1)
+    # rank-based kNN via double argsort (O(N² log N), vmap-friendly — an
+    # (N,N,N) comparison tensor would dominate compile and memory)
+    order = jnp.argsort(d, axis=-1)
+    rank = jnp.argsort(order, axis=-1)
     a = (rank < k) & pair_valid
     a = 0.5 * (a.astype(points.dtype) + a.T.astype(points.dtype))
 

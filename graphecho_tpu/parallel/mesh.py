@@ -1,0 +1,62 @@
+"""Device mesh + sharding for data-parallel training over ICI.
+
+The reference's distributed stack — NCCL process groups, DDP wrappers with
+`find_unused_parameters`, SyncBatchNorm conversion, DistributedSampler
+(`train_camus_echo.py:129-160,526-535`) — collapses on TPU to:
+
+  * one `jax.sharding.Mesh` over the slice (axis "data");
+  * batches sharded on their leading dim (`NamedSharding(P("data", ...))`);
+  * state replicated;
+  * ONE jitted step — XLA/GSPMD inserts the gradient all-reduces over ICI,
+    and BatchNorm's batch-dim reductions become global (SyncBN) for free.
+
+Multi-host: `initialize_distributed` wraps `jax.distributed.initialize`, the
+TPU-native replacement for the reference's PMI/OMPI env discovery
+(`utils/tools.py:5-47`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host init. No-ops on a single process (the common case here,
+    mirroring the reference's world_size=1 default)."""
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def create_mesh(data: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh (the model is ~40M params — TP/PP are out of
+    scope per SURVEY §2.5; the mesh axis name leaves room to add them)."""
+    devices = devices if devices is not None else jax.devices()
+    n = data or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put a host batch sharded on the leading axis."""
+    out = {}
+    for k, v in batch.items():
+        spec = P("data") if v.ndim >= 1 else P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -101,7 +101,10 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     """Multi-class CE over int labels with optional per-sample weight and
     validity mask (masked mean)."""
     log_p = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_p, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # one_hot instead of take_along_axis: out-of-range labels contribute 0
+    # rather than an undefined gather (defensive; the reference would crash)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=log_p.dtype)
+    nll = -jnp.sum(onehot * log_p, axis=-1)
     if weight is not None:
         nll = nll * weight
     if mask is None:

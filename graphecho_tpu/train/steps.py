@@ -1,0 +1,275 @@
+"""The jitted train / eval steps.
+
+Where the reference runs ~6 separate module calls + one joint backward per
+step (`train_camus_echo.py:206-299`), the TPU design fuses the entire step —
+FPN forwards on source/target, node sampling, GModule, per-level
+discriminators, optional temporal branch and cycle loss, the joint backward
+through the GRLs, and all optimizer updates — into ONE jitted function over
+one TrainState pytree. Loss-dict keys match the reference
+(`seg_loss`, `dis_loss`, `node_loss`, `mat_loss_aff`, `mat_loss_qu`,
+`loss_adv_p2..p5`, `temporal_graph_loss`, `cyc_loss`).
+
+Data layout is NHWC; batches arrive as a dict of device arrays. Under a
+`jax.sharding.Mesh` the batch dims are sharded over the `data` axis and XLA
+inserts gradient all-reduces automatically (GSPMD) — BatchNorm batch stats are
+computed with global semantics, i.e. SyncBN for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from graphecho_tpu.config import ExperimentConfig
+from graphecho_tpu.models.discriminator import Discriminator
+from graphecho_tpu.models.fpn import FPN
+from graphecho_tpu.models.graph_matching import GModule
+from graphecho_tpu.models.tgcn import TGCN
+from graphecho_tpu.ops.sampling import masks_to_boxes, sample_nodes
+from graphecho_tpu.train.cycle import seg_cycle
+from graphecho_tpu.train.losses import bce_with_logits, dice_loss
+from graphecho_tpu.train.metrics import confusion_counts
+from graphecho_tpu.train.state import Optimizers, TrainState
+
+DIS_LEVELS = ("p2", "p3", "p4", "p5")
+
+
+def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
+    import jax.numpy as jnp  # noqa: F811
+
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model.compute_dtype]
+    models: Dict[str, Any] = {
+        "fpn": FPN(num_classes=cfg.model.num_classes,
+                   back_bone=cfg.model.backbone,
+                   fpn_channels=cfg.model.fpn_channels,
+                   semantic_channels=cfg.model.semantic_channels,
+                   dtype=dtype, bn_axis_name=bn_axis_name),
+    }
+    if cfg.train.graph_matching:
+        models["gmodule"] = GModule(cfg.gmodule, dtype=dtype)
+    if cfg.train.discriminator and cfg.train.graph_matching:
+        models["discriminator"] = Discriminator(
+            num_convs=cfg.dis.num_convs, in_channels=cfg.dis.in_channels,
+            grad_reverse_lambda=cfg.dis.grad_reverse_lambda, dtype=dtype)
+    if cfg.train.temporal_graph:
+        models["tgcn"] = TGCN(cfg.tgcn, dtype=dtype)
+    return models
+
+
+def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
+                    optimizers: Optimizers):
+    """Returns `train_step(state, batch) -> (state, metrics)` (pure, jittable).
+
+    batch keys (NHWC):
+      imgs_source (B,H,W,1), masks (B,H,W,Cm)           — always
+      imgs_target (Bt,H,W,1)                            — if graph_matching
+      temp_imgs (2Bc,T,H,W,1), temp_masks (Bc,T,H,W,Cm),
+      update_idx_source/target (Bc,)                    — if temporal_graph
+      cyc_imgs (T64,H,W,1)                              — if cyc_loss
+    """
+    t = cfg.train
+    fpn = models["fpn"]
+    gm = models.get("gmodule")
+    dis = models.get("discriminator")
+    tgcn = models.get("tgcn")
+    is_camus = cfg.model.backbone == "resnet"
+
+    def seg_supervision(pred, masks):
+        if is_camus:
+            # camus trainer: masks[:, :1], 0.1 * (dice+bce)/2
+            # (`train_camus_echo.py:210-213`)
+            masks = masks[..., :1]
+            pred = pred[..., : masks.shape[-1]]
+            return 0.1 * (dice_loss(pred, masks) + bce_with_logits(pred, masks)) / 2
+        # cardiac trainer: full channels, dice+bce (`train_cardiac_uda.py:228`)
+        return dice_loss(pred, masks) + bce_with_logits(pred, masks)
+
+    def loss_fn(trainable, state: TrainState, batch, rng):
+        losses: Dict[str, jnp.ndarray] = {}
+        extra_metrics: Dict[str, jnp.ndarray] = {}
+        new_state_parts: Dict[str, Any] = {}
+        net_params = trainable["net"]
+        bs = state.net_batch_stats
+
+        rng, k_drop, k_gm, k_drop2, k_gm2, k_cyc = jax.random.split(rng, 6)
+
+        def fpn_apply(x, stats):
+            (logits, feats), mut = fpn.apply(
+                {"params": net_params, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return logits, feats, mut["batch_stats"]
+
+        pred_s, feats_s, bs = fpn_apply(batch["imgs_source"], bs)
+        masks = batch["masks"].astype(jnp.float32)
+        losses["seg_loss"] = seg_supervision(pred_s, masks)
+
+        grouped = None
+        if t.graph_matching:
+            pred_t, feats_t, bs = fpn_apply(batch["imgs_target"], bs)
+            score_maps = (jax.nn.sigmoid(pred_t) > 0.5).astype(jnp.float32)
+            boxes_s = masks_to_boxes(masks if not is_camus else masks[..., :1])
+            boxes_t = masks_to_boxes(score_maps)
+            src = sample_nodes(feats_s, boxes_s, cfg.gmodule.sampler)
+            tgt = sample_nodes(feats_t, boxes_t, cfg.gmodule.sampler)
+            gm_losses, new_seeds, grouped = gm.apply(
+                {"params": trainable["gmn"]}, src, tgt,
+                (state.sr_seed, state.tg_seed), train=True,
+                rngs={"gmodule": k_gm, "dropout": k_drop})
+            losses.update(gm_losses)
+            new_state_parts["sr_seed"] = new_seeds[0]
+            new_state_parts["tg_seed"] = new_seeds[1]
+
+            if t.discriminator:
+                for i, lvl in enumerate(DIS_LEVELS):
+                    losses[f"loss_adv_{lvl}"] = cfg.dis.loss_weight * dis.apply(
+                        {"params": trainable["dis"][lvl]},
+                        (feats_s[i], feats_t[i]))
+
+        if t.temporal_graph:
+            # one big FPN forward over (2Bc*T) frames (`train_camus_echo.py:246-254`)
+            ti = batch["temp_imgs"]
+            b2, tl = ti.shape[0], ti.shape[1]
+            flat = ti.reshape(b2 * tl, *ti.shape[2:])
+            preds_, feats_, bs = fpn_apply(flat, bs)
+            half = b2 * tl // 2
+
+            tm = batch["temp_masks"].astype(jnp.float32)
+            tm_flat = tm.reshape(half, *tm.shape[2:])
+            # frames with enough mask area supervise; others use predictions
+            # as pseudo-masks for node sampling (`:253-264`)
+            area_ok = jnp.sum(tm_flat, axis=(1, 2, 3)) > 100
+            src_masks = jnp.where(area_ok[:, None, None, None], tm_flat,
+                                  preds_[:half, ..., : tm_flat.shape[-1]])
+
+            src_feats = [f[:half] for f in feats_]
+            tgt_feats = [f[half:] for f in feats_]
+            boxes_s2 = masks_to_boxes(src_masks if not is_camus
+                                      else src_masks[..., :1])
+            boxes_t2 = masks_to_boxes(
+                (jax.nn.sigmoid(preds_[half:]) > 0.5).astype(jnp.float32))
+            src2 = sample_nodes(src_feats, boxes_s2, cfg.gmodule.sampler)
+            tgt2 = sample_nodes(tgt_feats, boxes_t2, cfg.gmodule.sampler)
+            gm2_losses, new_seeds2, grouped2 = gm.apply(
+                {"params": trainable["gmn"]}, src2, tgt2,
+                (new_state_parts.get("sr_seed", state.sr_seed),
+                 new_state_parts.get("tg_seed", state.tg_seed)), train=True,
+                rngs={"gmodule": k_gm2, "dropout": k_drop2})
+            new_state_parts["sr_seed"] = new_seeds2[0]
+            new_state_parts["tg_seed"] = new_seeds2[1]
+
+            clips = [f.reshape(b2, tl, *f.shape[1:]) for f in feats_]
+            g1, g2 = grouped2
+            (tg_losses, new_queues), tgcn_mut = tgcn.apply(
+                {"params": trainable["tgcn"],
+                 "batch_stats": state.tgcn_batch_stats},
+                clips,
+                jax.lax.stop_gradient(g1.nodes), g1.valid,
+                jax.lax.stop_gradient(g2.nodes), g2.valid,
+                (state.queue_source, state.queue_target),
+                (batch["update_idx_source"], batch["update_idx_target"]),
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop2})
+            losses["temporal_graph_loss"] = (sum(tg_losses.values())
+                                             + sum(gm2_losses.values()))
+            # sub-loss visibility for logging/debugging
+            extra_metrics.update({f"tgcn_{k}": v for k, v in tg_losses.items()})
+            extra_metrics.update({f"temp_{k}": v for k, v in gm2_losses.items()})
+            new_state_parts["queue_source"] = new_queues[0]
+            new_state_parts["queue_target"] = new_queues[1]
+            new_state_parts["tgcn_batch_stats"] = tgcn_mut["batch_stats"]
+
+        if t.cyc_loss:
+            # backbone layer-4 features summed spatially
+            # (`train_cardiac_uda.py:245-253`)
+            c5 = fpn.apply({"params": net_params, "batch_stats": bs},
+                           batch["cyc_imgs"], train=False,
+                           method=lambda m, x, train: m.backbone(x, train=train))
+            feat_out = jnp.sum(c5[-1], axis=(1, 2))
+            losses["cyc_loss"] = seg_cycle(
+                feat_out, k_cyc, cfg.cycle.target_region, cfg.cycle.cyc_off,
+                cfg.cycle.chunk_size, cfg.cycle.temperature)
+
+        new_state_parts["net_batch_stats"] = bs
+        total = sum(losses.values())
+        return total, ({**losses, **extra_metrics}, new_state_parts, pred_s)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Any]]:
+        rng, step_rng = jax.random.split(state.rng)
+        trainable = {"net": state.net_params}
+        if t.graph_matching:
+            trainable["gmn"] = state.gmn_params
+            if t.discriminator:
+                trainable["dis"] = state.dis_params
+        if t.temporal_graph:
+            trainable["tgcn"] = state.tgcn_params
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (losses, parts, pred_s)), grads = grad_fn(
+            trainable, state, batch, step_rng)
+
+        updates: Dict[str, Any] = {"rng": rng, "step": state.step + 1}
+        new_net, net_opt = _apply(optimizers.net, grads["net"],
+                                  state.net_opt, state.net_params)
+        updates.update(net_params=new_net, net_opt=net_opt)
+        if t.graph_matching:
+            new_gmn, gmn_opt = _apply(optimizers.gmn, grads["gmn"],
+                                      state.gmn_opt, state.gmn_params)
+            updates.update(gmn_params=new_gmn, gmn_opt=gmn_opt)
+            if t.discriminator:
+                new_dis, dis_opt = _apply(optimizers.dis, grads["dis"],
+                                          state.dis_opt, state.dis_params)
+                updates.update(dis_params=new_dis, dis_opt=dis_opt)
+        if t.temporal_graph:
+            new_tgcn, tgcn_opt = _apply(optimizers.tgcn, grads["tgcn"],
+                                        state.tgcn_opt, state.tgcn_params)
+            updates.update(tgcn_params=new_tgcn, tgcn_opt=tgcn_opt)
+        updates.update(parts)
+
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        return state.replace(**updates), metrics
+
+    return train_step
+
+
+def _apply(opt, grads, opt_state, params):
+    updates, new_opt_state = opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt_state
+
+
+def make_eval_step(cfg: ExperimentConfig, models: Dict[str, Any],
+                   drop_bg_channel: bool = False):
+    """Returns `eval_step(state, imgs, masks) -> (counts, loss)` accumulating
+    confusion counts — the reference validation contract
+    (`train_camus_echo.py:350-417`; video variant flattens T into the batch
+    before calling). With `drop_bg_channel`, channel 0 is excluded like the
+    cardiac trainer (`train_cardiac_uda.py:399-400`)."""
+    fpn = models["fpn"]
+    is_camus = cfg.model.backbone == "resnet"
+
+    def eval_step(state: TrainState, imgs, masks):
+        logits, _ = fpn.apply({"params": state.net_params,
+                               "batch_stats": state.net_batch_stats},
+                              imgs, train=False)
+        masks = masks.astype(jnp.float32)
+        if is_camus:
+            masks = masks[..., :1]
+            logits = logits[..., :1]
+        loss = bce_with_logits(logits, masks)
+        if drop_bg_channel:
+            logits = logits[..., 1:]
+            masks = masks[..., 1:]
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        counts = confusion_counts(masks, pred)
+        # per-channel counts for the per-part dice printout
+        per_part = {
+            f"part{i}": confusion_counts(masks[..., i], pred[..., i])
+            for i in range(logits.shape[-1])
+        }
+        return counts, per_part, loss
+
+    return eval_step

@@ -1,0 +1,171 @@
+"""Host-side Trainer: epochs, validation, checkpointing, logging.
+
+Mirrors the reference `Trainer` contract (`/root/reference/train_camus_echo.py:45-515`,
+`train_cardiac_uda.py:57-614`) on top of the fused jitted step:
+
+  * `train()` — epoch loop over a batch iterator, one jitted step per batch,
+    per-epoch validation and checkpoint save;
+  * `validation(batches, name, is_video)` — eval forward, confusion-count
+    accumulation, the reference's exact metric definitions
+    (`train_camus_echo.py:402-417`), per-part dice printout, and the cardiac
+    variant's BG-channel exclusion;
+  * full-TrainState orbax checkpoints (superset of the reference's
+    network-only saves).
+
+Data parallel: pass a Mesh; batches are sharded on their leading axis and the
+state replicated — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphecho_tpu.config import ExperimentConfig
+from graphecho_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from graphecho_tpu.train.checkpoint import CheckpointManager
+from graphecho_tpu.train.metrics import overlap_metrics_from_counts
+from graphecho_tpu.train.state import Optimizers, TrainState, create_train_state
+from graphecho_tpu.train.steps import build_models, make_eval_step, make_train_step
+
+
+def _logger(name: str, log_path: Optional[str]) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    if not logger.handlers:
+        if log_path:
+            fh = logging.FileHandler(log_path)
+            fh.setLevel(logging.INFO)
+            fh.setFormatter(logging.Formatter(
+                "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+            logger.addHandler(fh)
+        logger.addHandler(logging.StreamHandler())
+    return logger
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig,
+                 steps_per_epoch: int = 1,
+                 mesh=None,
+                 use_mesh: bool = False,
+                 log_path: Optional[str] = None,
+                 checkpoint_dir: Optional[str] = None,
+                 drop_bg_channel_in_eval: Optional[bool] = None):
+        self.cfg = cfg
+        self.logger = _logger("graphecho_tpu", log_path)
+        self.models = build_models(cfg)
+        self.optimizers = Optimizers(cfg, steps_per_epoch=steps_per_epoch)
+        self.mesh = mesh if mesh is not None else (
+            create_mesh(cfg.train.mesh_data) if use_mesh else None)
+        if drop_bg_channel_in_eval is None:
+            # cardiac variant drops the BG channel (`train_cardiac_uda.py:399-400`)
+            drop_bg_channel_in_eval = cfg.model.backbone == "VGG16"
+        self._train_step = jax.jit(
+            make_train_step(cfg, self.models, self.optimizers),
+            donate_argnums=0)
+        self._eval_step = jax.jit(
+            make_eval_step(cfg, self.models, drop_bg_channel_in_eval))
+        self.ckpt = (CheckpointManager(checkpoint_dir)
+                     if checkpoint_dir else None)
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, sample_batch: Dict[str, Any],
+                   seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed)
+        batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        state = create_train_state(self.cfg, self.models, self.optimizers,
+                                   rng, batch)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        if self.ckpt is not None:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                self.logger.info("resumed from checkpoint step %s",
+                                 int(restored.step))
+                state = restored
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------ train
+    def train_epoch(self, batches: Iterable[Dict[str, Any]],
+                    epoch: int) -> Dict[str, float]:
+        assert self.state is not None, "call init_state first"
+        agg: Dict[str, float] = {}
+        n = 0
+        t0 = time.time()
+        for batch in batches:
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = self._train_step(self.state, batch)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        means = {k: v / max(n, 1) for k, v in agg.items()}
+        means["steps"] = n
+        means["epoch_seconds"] = time.time() - t0
+        self.logger.info(
+            "epoch %d | %d steps | loss %.4f | seg %.4f | %.1fs", epoch, n,
+            means.get("total_loss", float("nan")),
+            means.get("seg_loss", float("nan")), means["epoch_seconds"])
+        return means
+
+    def train(self, batch_iter_fn: Callable[[], Iterable[Dict[str, Any]]],
+              num_epochs: Optional[int] = None,
+              eval_fns: Optional[Dict[str, Callable[[], Iterable]]] = None,
+              save_every: int = 1) -> TrainState:
+        """batch_iter_fn: returns a fresh finite batch iterator per epoch.
+        eval_fns: name -> fn returning (imgs, masks) eval batches."""
+        num_epochs = num_epochs or self.cfg.train.num_epochs
+        for epoch in range(num_epochs):
+            self.train_epoch(batch_iter_fn(), epoch)
+            if eval_fns:
+                for name, fn in eval_fns.items():
+                    self.validation(fn(), name)
+            if self.ckpt is not None and epoch % save_every == 0:
+                self.ckpt.save(int(self.state.step), self.state)
+        return self.state
+
+    # ------------------------------------------------------------- validation
+    def validation(self, batches: Iterable[Tuple[Any, Any]], name: str,
+                   is_video: bool = False) -> float:
+        """Returns dice (the reference returns it for model selection,
+        `train_cardiac_uda.py:426`). Video batches (B,T,H,W,C) are flattened
+        into the batch dim like the reference (`:384-387`)."""
+        assert self.state is not None
+        totals: Dict[str, jnp.ndarray] = {}
+        part_totals: Dict[str, Dict[str, jnp.ndarray]] = {}
+        losses = []
+        for imgs, masks in batches:
+            imgs = jnp.asarray(imgs)
+            masks = jnp.asarray(masks)
+            if is_video:
+                imgs = imgs.reshape(-1, *imgs.shape[-3:])
+                masks = masks.reshape(-1, *masks.shape[-3:])
+            counts, per_part, loss = self._eval_step(self.state, imgs, masks)
+            losses.append(float(loss))
+            for k, v in counts.items():
+                totals[k] = totals.get(k, 0.0) + v
+            for p, c in per_part.items():
+                d = part_totals.setdefault(p, {})
+                for k, v in c.items():
+                    d[k] = d.get(k, 0.0) + v
+        m = overlap_metrics_from_counts(totals)
+        self.logger.info(
+            "validation [%s] | loss %.4f | pixel_acc %.4f | dice %.4f | "
+            "precision %.4f | specificity %.4f | recall %.4f",
+            name, float(np.mean(losses)) if losses else float("nan"),
+            float(m.pixel_acc), float(m.dice), float(m.precision),
+            float(m.specificity), float(m.recall))
+        if self.cfg.train.seg_parts:
+            for p, c in part_totals.items():
+                pm = overlap_metrics_from_counts(c)
+                self.logger.info("  part %s dice %.4f", p, float(pm.dice))
+        return float(m.dice)
