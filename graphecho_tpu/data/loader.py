@@ -1,0 +1,90 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's `monai.data.DataLoader(num_workers=8)` worker pool:
+a thread pool decodes/transforms samples (the hot per-sample loops already run
+in native C++ releasing the GIL — `graphecho_tpu.data.native`), batches are
+collated into pinned numpy arrays, and a small prefetch queue overlaps host
+decode with device steps.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[Any]) -> Any:
+    """Stack a list of (image, mask, mask_index, index) tuples into arrays."""
+    first = samples[0]
+    if isinstance(first, (tuple, list)):
+        return tuple(collate([s[i] for s in samples]) for i in range(len(first)))
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    """Iterates batches of `dataset[i]` with shuffling and thread prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = True,
+                 seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches_of_indices(self) -> List[List[int]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        out = []
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            out.append(list(chunk))
+        return out
+
+    def __iter__(self) -> Iterator[Any]:
+        batches = self._batches_of_indices()
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(collate(samples))
+            q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+def cycled(loader: DataLoader) -> Iterator[Any]:
+    """Endless iterator (the reference re-creates target iterators per epoch,
+    `train_camus_echo.py:192-201`; cycling is equivalent and simpler)."""
+    while True:
+        yield from loader

@@ -1,0 +1,201 @@
+"""Data pipeline tests: format readers, transforms, native kernels, and the
+three dataset classes over synthesized fixture files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from graphecho_tpu.data import native
+from graphecho_tpu.data.camus import DataLoaderCamus
+from graphecho_tpu.data.cardiac_uda import SegCardiacUDADataset
+from graphecho_tpu.data.formats import read_mhd, read_nifti, write_mhd, write_nifti
+from graphecho_tpu.data.loader import DataLoader, collate
+from graphecho_tpu.data.transforms import (
+    center_crop,
+    nearest_resize,
+    polygon_mask,
+    resize_and_crop,
+)
+
+
+def test_mhd_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(30, 40) * 255).astype(np.uint8)
+    path = str(tmp_path / "img.mhd")
+    write_mhd(path, arr)
+    out = read_mhd(path)
+    np.testing.assert_array_equal(out, arr)
+
+    vol = (rng.rand(5, 30, 40) * 100).astype(np.int16)
+    path3 = str(tmp_path / "vol.mhd")
+    write_mhd(path3, vol)
+    np.testing.assert_array_equal(read_mhd(path3), vol)
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    vol = (rng.rand(20, 24, 6) * 4).astype(np.int16)  # (x, y, t)
+    path = str(tmp_path / "vol.nii.gz")
+    write_nifti(path, vol)
+    out = read_nifti(path)
+    np.testing.assert_array_equal(out, vol)
+
+
+def test_nearest_resize_native_matches_numpy():
+    rng = np.random.RandomState(2)
+    x = rng.rand(37, 53, 2).astype(np.float32)
+    out = nearest_resize(x, (124, 124))
+    iy = np.floor(np.arange(124) * (37 / 124)).astype(int)
+    ix = np.floor(np.arange(124) * (53 / 124)).astype(int)
+    np.testing.assert_array_equal(out, x[iy][:, ix])
+    assert native.available()  # g++ is in the image; the kernel must build
+
+
+def test_polygon_mask_basic():
+    m = polygon_mask([2, 2, 8, 8], [2, 8, 8, 2], (10, 10))
+    assert m[5, 5] == 1.0
+    assert m[0, 0] == 0.0
+    assert 20 < m.sum() < 50
+
+
+def test_resize_and_crop_shared_random_crop():
+    rng = np.random.RandomState(3)
+    img = np.arange(20 * 20, dtype=np.float32).reshape(20, 20, 1)
+    mask = img.copy()
+    im2, mk2 = resize_and_crop(img, mask, (16, 16), (8, 8), train=True,
+                               rng=np.random.RandomState(0))
+    np.testing.assert_array_equal(im2, mk2)  # identical crop window
+    assert im2.shape == (8, 8, 1)
+    im3, _ = resize_and_crop(img, None, (16, 16), (8, 8), train=False)
+    np.testing.assert_array_equal(im3, center_crop(nearest_resize(img, (16, 16)),
+                                                   (8, 8)))
+
+
+@pytest.fixture
+def camus_root(tmp_path):
+    rng = np.random.RandomState(4)
+    for i in range(6):
+        pid = f"patient{i:04d}"
+        d = tmp_path / "training" / pid
+        d.mkdir(parents=True)
+        img = (rng.rand(60, 70) * 255).astype(np.uint8)
+        gt = np.zeros((60, 70), np.uint8)
+        gt[10:30, 20:40] = 1  # LV
+        gt[35:50, 20:40] = 3  # LA
+        write_mhd(str(d / f"{pid}_4CH_ED.mhd"), img)
+        write_mhd(str(d / f"{pid}_4CH_ED_gt.mhd"), gt)
+    return str(tmp_path)
+
+
+def test_camus_dataset(camus_root):
+    ds = DataLoaderCamus(camus_root, stage="train", img_res=(32, 32),
+                         img_crop=(24, 24))
+    assert len(ds) > 0
+    img, masks, mask_index, index = ds[0]
+    assert img.shape == (24, 24, 1)
+    assert masks.shape == (24, 24, 2)
+    assert img.max() <= 1.0
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    # splits are disjoint
+    val = DataLoaderCamus(camus_root, stage="valid", img_res=(32, 32),
+                          img_crop=(24, 24))
+    assert not set(ds.data_list) & set(val.data_list)
+
+
+def test_camus_loader_batches(camus_root):
+    ds = DataLoaderCamus(camus_root, stage="train", img_res=(32, 32),
+                         img_crop=(24, 24))
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    batch = next(iter(loader))
+    imgs, masks, mask_idx, idx = batch
+    assert imgs.shape == (2, 24, 24, 1)
+    assert masks.shape == (2, 24, 24, 2)
+
+
+@pytest.fixture
+def cardiac_infos(tmp_path):
+    rng = np.random.RandomState(5)
+    infos = {}
+    for i in range(5):
+        pid = f"p{i}"
+        img = (rng.rand(48, 52, 10) * 255).astype(np.int16)  # (x, y, t)
+        mask = np.zeros((48, 52, 10), np.int16)
+        mask[10:30, 10:30, :] = 1
+        mask[32:40, 30:40, :] = 2
+        ip = str(tmp_path / f"{pid}_img.nii.gz")
+        mp = str(tmp_path / f"{pid}_mask.nii.gz")
+        write_nifti(ip, img)
+        write_nifti(mp, mask)
+        infos[pid] = {"dataset_name": "Site_G",
+                      "views_images": {"1": ip}, "views_labels": {"1": mp}}
+    return infos
+
+
+def test_cardiac_dataset_single_frame(cardiac_infos):
+    ds = SegCardiacUDADataset(cardiac_infos, root="", is_train=True,
+                              view_num=("1",), spatial_size=40, crop_size=32,
+                              seed=0)
+    img, masks, mask_index, index = ds[0]
+    assert img.shape == (32, 32, 1)
+    assert masks.shape == (32, 32, 3)  # BG + LV + RV for view '1'
+    # BG channel complements the organs
+    np.testing.assert_allclose(masks.sum(-1), np.ones((32, 32)))
+
+
+def test_cardiac_dataset_clip(cardiac_infos):
+    ds = SegCardiacUDADataset(cardiac_infos, root="", is_train=True,
+                              view_num=("1",), spatial_size=40, crop_size=32,
+                              single_frame=False, clip_length=4,
+                              total_length=8, seed=0)
+    clip, masks, mask_index, index = ds[0]
+    assert clip.shape == (4, 32, 32, 1)
+    assert masks.shape == (4, 32, 32, 3)
+
+
+def test_collate():
+    out = collate([(np.zeros((2, 2)), 1), (np.ones((2, 2)), 2)])
+    assert out[0].shape == (2, 2, 2)
+    np.testing.assert_array_equal(out[1], [1, 2])
+
+
+@pytest.fixture
+def echo_root(tmp_path):
+    import cv2
+    from graphecho_tpu.data.video import savevideo
+
+    rng = np.random.RandomState(6)
+    (tmp_path / "Videos").mkdir()
+    names = []
+    rows = ["FileName,X1,Y1,X2,Y2,Frame"]
+    for i in range(3):
+        name = f"vid{i}.avi"
+        vid = (rng.rand(12, 32, 32) * 255).astype(np.uint8)
+        savevideo(str(tmp_path / "Videos" / name), vid)
+        names.append(name)
+        for frame in (2, 7):  # two traced frames (ES, ED)
+            for k in range(4):
+                rows.append(f"{name[:-4]},{8+k},{8+2*k},{24-k},{8+2*k},{frame}")
+    with open(tmp_path / "FileList.csv", "w") as f:
+        f.write("FileName,Split\n")
+        for n in names:
+            f.write(f"{n},TRAIN\n")
+    with open(tmp_path / "VolumeTracings.csv", "w") as f:
+        f.write("\n".join(rows))
+    return str(tmp_path)
+
+
+def test_echo_dataset(echo_root):
+    from graphecho_tpu.data.echo import Echo
+
+    ds = Echo(echo_root, split="train", single_frame=True)
+    assert len(ds) == 3
+    img, mask, _, idx = ds[0]
+    assert img.shape[-1] == 1 and img.ndim == 3
+    assert mask.shape == img.shape[:2] + (1,)
+    assert img.max() <= 1.0
+    assert mask.sum() > 0  # trace rasterized
+
+    clip_ds = Echo(echo_root, split="train", single_frame=False, length=4)
+    clip, mask, _, _ = clip_ds[1]
+    assert clip.shape[0] == 4 and clip.shape[-1] == 1
