@@ -104,7 +104,9 @@ class GModuleConfig:
     with_domain_interaction: bool = True
     with_complete_graph: bool = True
     with_node_dis: bool = True
+    with_global_graph: bool = False  # union-attention cross-graph (`:131,491-498`)
     node_dis_place: str = "feat"  # 'feat' | 'intra' | 'inter'
+    head_in_cfg: str = "LN"  # 'LN' (shipped) | 'GN'/'IN'/'BN' (GRAPHHead convs)
     with_score_weight: bool = False
     weight_matching: float = 0.1
     weight_nodes: float = 1.0

@@ -50,6 +50,39 @@ from graphecho_tpu.train.losses import bce_focal_loss_probs, bce_with_logits, cr
 _NEG_INF = -1e9
 
 
+class GRAPHHead(nn.Module):
+    """Conv tower projecting feature maps before node sampling — the
+    reference's `head_in_cfg != 'LN'` vision-to-graph path
+    (`graph_matching.py:48-98`). Provided for config completeness; the shipped
+    configuration uses the LN node-embedding head inside GModule."""
+
+    num_convs: int = 2
+    channels: int = 256
+    norm: str = "GN"  # 'GN' | 'IN' | 'none'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, features):
+        outs = []
+        convs = [nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                         kernel_init=nn.initializers.normal(0.01),
+                         bias_init=nn.initializers.zeros, name=f"conv_{i}")
+                 for i in range(self.num_convs)]
+        norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn_{i}")
+                 if self.norm == "GN" else None
+                 for i in range(self.num_convs)]
+        for feat in features:
+            x = feat
+            for i in range(self.num_convs):
+                x = convs[i](x)
+                if norms[i] is not None:
+                    x = norms[i](x)
+                if i != self.num_convs - 1:
+                    x = nn.relu(x)
+            outs.append(x)
+        return outs
+
+
 class GroupedNodes(NamedTuple):
     """Per-class slotted node sets: (num_classes * S, ...) arrays."""
 
@@ -256,11 +289,23 @@ class GModule(nn.Module):
                          edges_1: jnp.ndarray, edges_2: jnp.ndarray
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Affinity + Sinkhorn + o2o focal loss (`_forward_aff`, `:569-599`)
-        and quadratic loss (`_forward_qu`, `:604-607`), masked."""
+        and quadratic loss (`_forward_qu`, `:604-607`), masked. The 'm2m'
+        alternative (`:592-595`) skips InstanceNorm/Sinkhorn and applies the
+        focal loss on sigmoid(M) directly."""
         cfg = self.cfg
         m = self.node_affinity(g1.nodes, g2.nodes)  # (N1, N2)
         pair_valid = g1.valid[:, None] & g2.valid[None, :]
         target = (g1.labels[:, None] == g2.labels[None, :]) & pair_valid
+
+        if cfg.matching_cfg == "m2m":
+            matching_loss = bce_focal_loss_probs(
+                jax.nn.sigmoid(m), target.astype(m.dtype), mask=pair_valid)
+            mm = jax.nn.sigmoid(m) * pair_valid
+            e1 = jax.lax.stop_gradient(edges_1) * pair_row(g1.valid)
+            e2 = jax.lax.stop_gradient(edges_2) * pair_row(g2.valid)
+            r = e1 @ mm - mm @ e2
+            n_pairs = jnp.maximum(jnp.sum(pair_valid.astype(m.dtype)), 1.0)
+            return matching_loss, jnp.sum(jnp.abs(r) * pair_valid) / n_pairs
 
         m = _masked_instance_norm(m, pair_valid)
         log_m = sinkhorn_rpm(m[None], n_iters=cfg.sinkhorn_iters, slack=True,
@@ -338,13 +383,33 @@ class GModule(nn.Module):
         new_tg = jnp.where(gate, self._update_seeds(g2.nodes, g2.labels,
                                                     g2.valid, tg_seed), tg_seed)
 
+        if cfg.with_node_dis and cfg.node_dis_place == "intra":
+            losses["dis_loss"] = enough * self._node_dis_loss(
+                g1.nodes, g1.valid, g2.nodes, g2.valid)
+
         if cfg.with_domain_interaction:
-            n2e, _ = self.cross_domain_graph(g1.nodes, g1.nodes, g2.nodes,
-                                             key_mask=g1.valid, deterministic=det)
-            n1e, _ = self.cross_domain_graph(g2.nodes, g2.nodes, g1.nodes,
-                                             key_mask=g2.valid, deterministic=det)
+            if getattr(cfg, "with_global_graph", False):
+                # single attention over the union (`:491-498`)
+                n1l = g1.nodes.shape[0]
+                union = jnp.concatenate([g1.nodes, g2.nodes], axis=0)
+                union_valid = jnp.concatenate([g1.valid, g2.valid])
+                enhanced, _ = self.cross_domain_graph(
+                    union, union, union, key_mask=union_valid,
+                    deterministic=det)
+                n1e, n2e = enhanced[:n1l], enhanced[n1l:]
+            else:
+                n2e, _ = self.cross_domain_graph(g1.nodes, g1.nodes, g2.nodes,
+                                                 key_mask=g1.valid,
+                                                 deterministic=det)
+                n1e, _ = self.cross_domain_graph(g2.nodes, g2.nodes, g1.nodes,
+                                                 key_mask=g2.valid,
+                                                 deterministic=det)
             g1 = g1._replace(nodes=n1e * g1.valid[:, None])
             g2 = g2._replace(nodes=n2e * g2.valid[:, None])
+
+        if cfg.with_node_dis and cfg.node_dis_place == "inter":
+            losses["dis_loss"] = enough * self._node_dis_loss(
+                g1.nodes, g1.valid, g2.nodes, g2.valid)
 
         # node classification loss (`:505-530`)
         all_nodes = jnp.concatenate([g1.nodes, g2.nodes], axis=0)

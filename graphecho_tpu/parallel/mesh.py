@@ -60,3 +60,13 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def all_gather_nodes(x, axis_name: str = "data"):
+    """Explicit all-gather of per-shard node features, for use inside
+    shard_map'd code that needs globally-visible nodes (the TPU analogue of
+    the reference's dead `concat_all_gather`, `TGCN.py:315-326`; under plain
+    GSPMD jit this is unnecessary — global semantics are automatic)."""
+    import jax.numpy as jnp  # noqa: F811
+
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)

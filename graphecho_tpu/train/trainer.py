@@ -32,6 +32,9 @@ from graphecho_tpu.train.checkpoint import CheckpointManager
 from graphecho_tpu.train.metrics import overlap_metrics_from_counts
 from graphecho_tpu.train.state import Optimizers, TrainState, create_train_state
 from graphecho_tpu.train.steps import build_models, make_eval_step, make_train_step
+from graphecho_tpu.utils.preemption import PreemptionGuard
+from graphecho_tpu.utils.profiling import StepTimer
+from graphecho_tpu.utils.summary import SummaryWriter
 
 
 def _logger(name: str, log_path: Optional[str]) -> logging.Logger:
@@ -55,9 +58,14 @@ class Trainer:
                  use_mesh: bool = False,
                  log_path: Optional[str] = None,
                  checkpoint_dir: Optional[str] = None,
+                 summary_dir: Optional[str] = None,
                  drop_bg_channel_in_eval: Optional[bool] = None):
         self.cfg = cfg
         self.logger = _logger("graphecho_tpu", log_path)
+        if cfg.train.debug_nans:
+            # the reference leaves torch detect_anomaly always-on
+            # (`train_camus_echo.py:39`); we gate the jax equivalent
+            jax.config.update("jax_debug_nans", True)
         self.models = build_models(cfg)
         self.optimizers = Optimizers(cfg, steps_per_epoch=steps_per_epoch)
         self.mesh = mesh if mesh is not None else (
@@ -72,6 +80,9 @@ class Trainer:
             make_eval_step(cfg, self.models, drop_bg_channel_in_eval))
         self.ckpt = (CheckpointManager(checkpoint_dir)
                      if checkpoint_dir else None)
+        self.summary = SummaryWriter(summary_dir) if summary_dir else None
+        self.step_timer = StepTimer()
+        self._preemption: Optional[PreemptionGuard] = None
         self.state: Optional[TrainState] = None
 
     # ------------------------------------------------------------------ setup
@@ -104,13 +115,25 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, metrics = self._train_step(self.state, batch)
+            with self.step_timer:
+                self.state, metrics = self._train_step(self.state, batch)
+                total = float(metrics["total_loss"])  # host fetch = sync
             n += 1
+            agg["total_loss"] = agg.get("total_loss", 0.0) + total
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+                if k != "total_loss":
+                    agg[k] = agg.get(k, 0.0) + float(v)
+            if self._preemption is not None and self._preemption.should_stop:
+                self.logger.warning("preemption signal: checkpointing + stop")
+                if self.ckpt is not None:
+                    self.ckpt.save(int(self.state.step), self.state)
+                break
         means = {k: v / max(n, 1) for k, v in agg.items()}
         means["steps"] = n
         means["epoch_seconds"] = time.time() - t0
+        means["step_seconds"] = self.step_timer.mean
+        if self.summary is not None:
+            self.summary.add_scalars(means, int(self.state.step), "train/")
         self.logger.info(
             "epoch %d | %d steps | loss %.4f | seg %.4f | %.1fs", epoch, n,
             means.get("total_loss", float("nan")),
@@ -124,13 +147,20 @@ class Trainer:
         """batch_iter_fn: returns a fresh finite batch iterator per epoch.
         eval_fns: name -> fn returning (imgs, masks) eval batches."""
         num_epochs = num_epochs or self.cfg.train.num_epochs
-        for epoch in range(num_epochs):
-            self.train_epoch(batch_iter_fn(), epoch)
-            if eval_fns:
-                for name, fn in eval_fns.items():
-                    self.validation(fn(), name)
-            if self.ckpt is not None and epoch % save_every == 0:
-                self.ckpt.save(int(self.state.step), self.state)
+        self._preemption = PreemptionGuard()
+        try:
+            for epoch in range(num_epochs):
+                self.train_epoch(batch_iter_fn(), epoch)
+                if self._preemption.should_stop:
+                    break
+                if eval_fns:
+                    for name, fn in eval_fns.items():
+                        self.validation(fn(), name)
+                if self.ckpt is not None and epoch % save_every == 0:
+                    self.ckpt.save(int(self.state.step), self.state)
+        finally:
+            self._preemption.uninstall()
+            self._preemption = None
         return self.state
 
     # ------------------------------------------------------------- validation
@@ -168,4 +198,8 @@ class Trainer:
             for p, c in part_totals.items():
                 pm = overlap_metrics_from_counts(c)
                 self.logger.info("  part %s dice %.4f", p, float(pm.dice))
+        if self.summary is not None and self.state is not None:
+            self.summary.add_scalars(
+                {"dice": float(m.dice), "pixel_acc": float(m.pixel_acc)},
+                int(self.state.step), f"val/{name}/")
         return float(m.dice)

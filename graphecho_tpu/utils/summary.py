@@ -1,0 +1,47 @@
+"""Run summaries: JSONL scalar stream + optional TensorBoard.
+
+Replaces the reference's tensorboardX SummaryWriter usage
+(`/root/reference/train_camus_echo.py:180-181,490-499`): scalars always go to
+an append-only `metrics.jsonl` (machine-readable, dependency-free); if
+tensorboardX happens to be importable the same scalars mirror there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class SummaryWriter:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter as TBWriter  # type: ignore
+
+            self._tb = TBWriter(log_dir)
+        except ImportError:
+            pass
+
+    def add_scalar(self, name: str, value: float, step: int) -> None:
+        self._f.write(json.dumps({"ts": time.time(), "step": step,
+                                  "name": name, "value": float(value)}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(name, value, step)
+
+    def add_scalars(self, scalars, step: int, prefix: str = "") -> None:
+        for k, v in scalars.items():
+            try:
+                self.add_scalar(prefix + k, float(v), step)
+            except (TypeError, ValueError):
+                continue
+
+    def close(self) -> None:
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()

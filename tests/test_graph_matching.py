@@ -249,3 +249,56 @@ def test_gmodule_hallucination_when_class_missing():
             assert v2[c].sum() == v1[c].sum()  # mirrored count
     for v in losses.values():
         assert np.isfinite(float(v))
+
+
+def test_gmodule_m2m_and_global_graph():
+    import dataclasses
+    rng = np.random.RandomState(9)
+    cfg = GModuleConfig(in_channels=32, num_classes=3, nodes_per_class=16,
+                        matching_cfg="m2m", with_global_graph=True,
+                        node_dis_place="intra")
+    gm = GModule(cfg)
+    src = _toy_nodeset(rng, 64, 32, 3, 40)
+    tgt = _toy_nodeset(rng, 64, 32, 3, 30)
+    seeds = (jnp.asarray(rng.randn(3, 32).astype(np.float32)),
+             jnp.asarray(rng.randn(3, 32).astype(np.float32)))
+    variables = gm.init({"params": jax.random.PRNGKey(0),
+                         "gmodule": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+    losses, _, _ = gm.apply(
+        variables, src, tgt, seeds, train=True,
+        rngs={"gmodule": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+    assert "mat_loss_aff" in losses and "dis_loss" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_tgcn_gru_cells():
+    from graphecho_tpu.models.tgcn_cells import (
+        TGCNCell, laplacian_with_self_loop, laplacian_without_self_loop)
+    import torch
+
+    rng = np.random.RandomState(10)
+    x = rng.rand(2, 6, 6).astype(np.float32)
+    got = np.asarray(laplacian_with_self_loop(jnp.asarray(x)))
+    # torch reference re-run (TGCN.py:11-23)
+    outs = []
+    for m in torch.from_numpy(x):
+        m = m + torch.eye(m.size(0))
+        d = m.sum(1).pow(-0.5).flatten()
+        d[torch.isinf(d)] = 0.0
+        dm = torch.diag(d)
+        outs.append((m @ dm).T @ dm)
+    want = torch.stack(outs).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    lap = laplacian_without_self_loop(jnp.asarray(x[0]), normalize=False)
+    assert np.allclose(np.asarray(lap).sum(-1), 0, atol=1e-5)
+
+    cell = TGCNCell(input_dim=6, hidden_dim=4)
+    inputs = jnp.asarray(rng.rand(2, 6, 6).astype(np.float32))
+    hidden = jnp.zeros((2, 24))
+    v = cell.init(jax.random.PRNGKey(0), inputs, hidden)
+    out, new_h = cell.apply(v, inputs, hidden)
+    assert out.shape == (2, 24)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(new_h))
