@@ -77,3 +77,34 @@ def test_data_parallel_step_matches_single_device():
 
     np.testing.assert_allclose(float(metrics_single["total_loss"]),
                                float(metrics_mesh["total_loss"]), rtol=1e-4)
+
+
+def test_sharded_video_inference():
+    """Frame-axis sharding over the 8-device mesh (long-video path)."""
+    from graphecho_tpu.parallel.video_infer import make_sharded_video_infer
+    from graphecho_tpu.train.steps import build_models
+
+    cfg = tiny_config(graph_matching=False, discriminator=False)
+    fpn = build_models(cfg)["fpn"]
+    frames = jnp.asarray(np.random.RandomState(0).rand(13, 64, 64, 1),
+                         jnp.float32)  # 13 frames: exercises padding
+    variables = fpn.init(jax.random.PRNGKey(0), frames[:1])
+    mesh = create_mesh(8)
+    run = make_sharded_video_infer(fpn, mesh)
+    pred, t = run(variables, frames)
+    assert pred.shape == (13, 64, 64, 2)
+    # matches unsharded inference
+    logits, _ = fpn.apply(variables, frames, train=False)
+    want = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(want))
+
+
+def test_dense_knn_chunked_matches_direct():
+    from graphecho_tpu.ops.knn import dense_knn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 50, 8).astype(np.float32))
+    direct = dense_knn(x, k=4)
+    chunked = dense_knn(x, k=4, n_part=16)
+    np.testing.assert_array_equal(np.sort(np.asarray(direct), -1),
+                                  np.sort(np.asarray(chunked), -1))
