@@ -125,6 +125,7 @@ def _masked_instance_norm(m: jnp.ndarray, pair_valid: jnp.ndarray,
                           eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over the whole matrix restricted to valid entries
     (reference `InstNorm_layer`, `graph_matching.py:177,574`)."""
+    m = m.astype(jnp.float32)
     f = pair_valid.astype(m.dtype)
     cnt = jnp.maximum(jnp.sum(f), 1.0)
     mean = jnp.sum(m * f) / cnt

@@ -38,6 +38,7 @@ def sinkhorn_rpm(log_alpha: jnp.ndarray, n_iters: int = 5, slack: bool = True,
     Returns:
       (B, J, K) log of the (near) doubly-stochastic matrix.
     """
+    log_alpha = log_alpha.astype(jnp.float32)  # log-domain iters need f32
     neg_inf = jnp.asarray(-1e9, log_alpha.dtype)
     if row_mask is not None:
         log_alpha = jnp.where(row_mask[:, :, None], log_alpha, neg_inf)

@@ -41,6 +41,7 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     `valid` (N,) masks real rows; invalid rows get cluster -1. k for the kNN
     graph is n_valid // 2, matching the reference's `n_neighbors=len(bs)//2`.
     """
+    points = points.astype(jnp.float32)  # eigh/k-means need full precision
     n = points.shape[0]
     fvalid = valid.astype(points.dtype)
     n_valid = jnp.sum(fvalid).astype(jnp.int32)
@@ -96,6 +97,8 @@ def seed_consistent_mean(seed: jnp.ndarray, nodes: jnp.ndarray,
     Returns (mean (C,), ok scalar bool — False if the seed's subcluster is
     empty, in which case the caller should fall back to the plain mean).
     """
+    seed = seed.astype(jnp.float32)
+    nodes = nodes.astype(jnp.float32)
     pts = jnp.concatenate([seed[None, :], nodes], axis=0)
     val = jnp.concatenate([jnp.ones((1,), bool), valid], axis=0)
     assign = spectral_bipartition(pts, val)

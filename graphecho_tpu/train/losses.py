@@ -44,7 +44,7 @@ def dice_loss(logits: jnp.ndarray, target: jnp.ndarray, channel_axis: int = -1,
     """Multi-channel dice: softmax over channels then mean of per-channel
     binary dice (`utils/losses.py:64-95`). `target` is one-hot-ish float with
     the same shape as `logits`."""
-    prob = jax.nn.softmax(logits, axis=channel_axis)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=channel_axis)
     prob = jnp.moveaxis(prob, channel_axis, 1)
     target = jnp.moveaxis(target, channel_axis, 1)
     c = prob.shape[1]
@@ -57,7 +57,10 @@ def dice_loss(logits: jnp.ndarray, target: jnp.ndarray, channel_axis: int = -1,
 def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray,
                     weight: Optional[jnp.ndarray] = None,
                     reduction: str = "mean") -> jnp.ndarray:
-    """Numerically-stable binary cross entropy with logits."""
+    """Numerically-stable binary cross entropy with logits. Computed in f32
+    regardless of input dtype (bf16 logits lose too much around 0)."""
+    logits = logits.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     # max(x,0) - x*z + log(1+exp(-|x|))
     loss = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if weight is not None:

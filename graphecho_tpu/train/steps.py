@@ -50,11 +50,15 @@ def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
                    dtype=dtype, bn_axis_name=bn_axis_name),
     }
     if cfg.train.graph_matching:
-        models["gmodule"] = GModule(cfg.gmodule, dtype=dtype)
+        # the graph head stays f32 even under bf16 compute: it is small-matmul
+        # + normalization heavy (Sinkhorn/eigh/LayerNorm) where bf16 both
+        # hurts numerics and (measured) runs SLOWER than f32 on v5e
+        models["gmodule"] = GModule(cfg.gmodule, dtype=None)
     if cfg.train.discriminator and cfg.train.graph_matching:
+        # measured 2x SLOWER in bf16 on v5e (GroupNorm-heavy tower) — keep f32
         models["discriminator"] = Discriminator(
             num_convs=cfg.dis.num_convs, in_channels=cfg.dis.in_channels,
-            grad_reverse_lambda=cfg.dis.grad_reverse_lambda, dtype=dtype)
+            grad_reverse_lambda=cfg.dis.grad_reverse_lambda, dtype=None)
     if cfg.train.temporal_graph:
         models["tgcn"] = TGCN(cfg.tgcn, dtype=dtype)
     return models

@@ -110,6 +110,11 @@ class Trainer:
         agg: Dict[str, float] = {}
         n = 0
         t0 = time.time()
+        # metrics accumulate ON DEVICE; one host fetch per epoch. A per-step
+        # `float(loss)` sync would serialize host and device (and on this
+        # host's TPU tunnel it is the only thing that forces execution, so
+        # the epoch-end fetch below is also the epoch-end barrier).
+        device_agg = None
         for batch in batches:
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
@@ -117,21 +122,22 @@ class Trainer:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             with self.step_timer:
                 self.state, metrics = self._train_step(self.state, batch)
-                total = float(metrics["total_loss"])  # host fetch = sync
+            device_agg = metrics if device_agg is None else jax.tree_util.tree_map(
+                jnp.add, device_agg, metrics)
             n += 1
-            agg["total_loss"] = agg.get("total_loss", 0.0) + total
-            for k, v in metrics.items():
-                if k != "total_loss":
-                    agg[k] = agg.get(k, 0.0) + float(v)
             if self._preemption is not None and self._preemption.should_stop:
                 self.logger.warning("preemption signal: checkpointing + stop")
                 if self.ckpt is not None:
                     self.ckpt.save(int(self.state.step), self.state)
                 break
+        if device_agg is not None:
+            # ONE batched device->host transfer (per-scalar float() fetches
+            # each round-trip the TPU tunnel at ~30-50 ms)
+            agg = {k: float(v) for k, v in jax.device_get(device_agg).items()}
         means = {k: v / max(n, 1) for k, v in agg.items()}
         means["steps"] = n
         means["epoch_seconds"] = time.time() - t0
-        means["step_seconds"] = self.step_timer.mean
+        means["step_seconds"] = (time.time() - t0) / max(n, 1)
         if self.summary is not None:
             self.summary.add_scalars(means, int(self.state.step), "train/")
         self.logger.info(

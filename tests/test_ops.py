@@ -93,3 +93,26 @@ def test_sinkhorn_distance_matches_reference_impl():
     want_cost = torch.sum(pit * Ct).numpy()
     np.testing.assert_allclose(np.asarray(cost), want_cost, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pi), pit.numpy(), atol=1e-5)
+
+
+def test_warmup_multistep_schedule_semantics():
+    """Reference WarmupMultiStepLR semantics (lr_scheduler.py:38-51):
+    constant warmup factor below warmup_iters, gamma decay at milestones."""
+    from graphecho_tpu.config import ScheduleConfig
+    from graphecho_tpu.train.schedule import warmup_multistep_schedule
+
+    cfg = ScheduleConfig(steps=(10, 20), gamma=0.1, warmup_factor=1 / 3,
+                         warmup_iters=5, warmup_method="constant")
+    sch = warmup_multistep_schedule(3.0, cfg)
+    np.testing.assert_allclose(float(sch(0)), 1.0)  # 3 * 1/3
+    np.testing.assert_allclose(float(sch(4)), 1.0)
+    np.testing.assert_allclose(float(sch(5)), 3.0)  # warmup over
+    np.testing.assert_allclose(float(sch(10)), 0.3)  # first milestone
+    np.testing.assert_allclose(float(sch(25)), 0.03, rtol=1e-5)  # second
+
+    lin = ScheduleConfig(steps=(), gamma=0.1, warmup_factor=0.5,
+                         warmup_iters=4, warmup_method="linear")
+    sch2 = warmup_multistep_schedule(1.0, lin)
+    np.testing.assert_allclose(float(sch2(0)), 0.5)
+    np.testing.assert_allclose(float(sch2(2)), 0.75)
+    np.testing.assert_allclose(float(sch2(4)), 1.0)
