@@ -108,3 +108,32 @@ def test_dense_knn_chunked_matches_direct():
     chunked = dense_knn(x, k=4, n_part=16)
     np.testing.assert_array_equal(np.sort(np.asarray(direct), -1),
                                   np.sort(np.asarray(chunked), -1))
+
+
+def test_predictor_roundtrip(tmp_path):
+    """Serving: train briefly, checkpoint, load into a Predictor, predict."""
+    from graphecho_tpu.data.synthetic import SyntheticEchoData
+    from graphecho_tpu.serve import Predictor
+
+    cfg = tiny_config(graph_matching=False, discriminator=False)
+    trainer = Trainer(cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    data = SyntheticEchoData(cfg, seed=0)
+    trainer.init_state(data.train_batch())
+    trainer.train_epoch([data.train_batch()], epoch=0)
+    trainer.ckpt.save(int(trainer.state.step), trainer.state)
+
+    pred = Predictor.from_checkpoint(cfg, str(tmp_path / "ckpt"), batch_size=4)
+    frames = np.random.RandomState(0).rand(6, 64, 64).astype(np.float32)
+    masks = pred.predict(frames)
+    assert masks.shape == (6, 64, 64, 2)
+    assert masks.dtype == np.int8
+    # uint8 input + resize path
+    big = (np.random.RandomState(1).rand(3, 100, 90) * 255).astype(np.uint8)
+    masks2 = pred.predict(big)
+    assert masks2.shape == (3, 64, 64, 2)
+
+    mesh = create_mesh(8)
+    pred_m = Predictor.from_checkpoint(cfg, str(tmp_path / "ckpt"),
+                                       batch_size=4, mesh=mesh)
+    vid = pred_m.predict_video(frames)
+    assert vid.shape == (6, 64, 64, 2)
