@@ -15,7 +15,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from graphecho_tpu.ops.pairwise_mlp import pairwise_mlp
+from graphecho_tpu.ops.pairwise_mlp import pairwise_mlp_auto
 
 
 class Affinity(nn.Module):
@@ -40,4 +40,4 @@ class Affinity(nn.Module):
 
         a = X @ wx + b1  # (N1, hidden)
         b = Y @ wy  # (N2, hidden); b1 folded into a
-        return pairwise_mlp(a, b, w2, b2)
+        return pairwise_mlp_auto(a, b, w2, b2)

@@ -302,3 +302,26 @@ def test_tgcn_gru_cells():
     out, new_h = cell.apply(v, inputs, hidden)
     assert out.shape == (2, 24)
     np.testing.assert_allclose(np.asarray(out), np.asarray(new_h))
+
+
+def test_pallas_pairwise_mlp_interpret_matches_xla():
+    from graphecho_tpu.ops.pairwise_mlp import pairwise_mlp
+    from graphecho_tpu.ops.pallas.pairwise_mlp_kernel import pallas_pairwise_mlp
+
+    rng = np.random.RandomState(11)
+    a = jnp.asarray(rng.randn(70, 40).astype(np.float32))
+    b = jnp.asarray(rng.randn(50, 40).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(40).astype(np.float32))
+    b2 = jnp.float32(0.2)
+    got = pallas_pairwise_mlp(a, b, w2, b2, True)  # interpret mode
+    want = pairwise_mlp(a, b, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    t = jnp.asarray(rng.randn(70, 50).astype(np.float32))
+    gp = jax.grad(lambda *xs: jnp.sum((pallas_pairwise_mlp(*xs, True) - t) ** 2),
+                  argnums=(0, 1, 2, 3))(a, b, w2, b2)
+    gx = jax.grad(lambda *xs: jnp.sum((pairwise_mlp(*xs) - t) ** 2),
+                  argnums=(0, 1, 2, 3))(a, b, w2, b2)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x), rtol=1e-3,
+                                   atol=1e-3)
