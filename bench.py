@@ -22,10 +22,29 @@ RTX3090_FPS_ESTIMATE = 900.0  # see module docstring
 BASELINE_TARGET = 5.0 * RTX3090_FPS_ESTIMATE
 
 
+def _enable_compile_cache():
+    """First compile of the model is minutes through this host's remote
+    compiler; a persistent cache makes reruns near-instant."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/root/.jax_tpu_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
+    except (OSError, AttributeError):
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    _enable_compile_cache()
 
     from graphecho_tpu.config import camus_echo_config
     from graphecho_tpu.train.steps import build_models
