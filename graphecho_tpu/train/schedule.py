@@ -55,3 +55,11 @@ def build_optimizer(cfg: ComponentConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {opt.opt_name!r}")
     parts.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*parts)
+
+
+def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
+    """Cosine decay helper mirroring the reference's (unused)
+    `adjust_learning_rate` (`train_camus_echo.py:419-423`)."""
+    import math
+
+    return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / total_epochs))

@@ -140,6 +140,15 @@ class Trainer:
         means["step_seconds"] = (time.time() - t0) / max(n, 1)
         if self.summary is not None:
             self.summary.add_scalars(means, int(self.state.step), "train/")
+            if self.cfg.train.record_params:
+                # per-parameter histograms (`train_camus_echo.py:307-310`)
+                import jax as _jax
+
+                for path, leaf in _jax.tree_util.tree_leaves_with_path(
+                        self.state.net_params):
+                    self.summary.add_histogram(
+                        "params" + _jax.tree_util.keystr(path),
+                        np.asarray(leaf), int(self.state.step))
         self.logger.info(
             "epoch %d | %d steps | loss %.4f | seg %.4f | %.1fs", epoch, n,
             means.get("total_loss", float("nan")),
@@ -159,11 +168,16 @@ class Trainer:
                 self.train_epoch(batch_iter_fn(), epoch)
                 if self._preemption.should_stop:
                     break
+                last_dice = None
                 if eval_fns:
                     for name, fn in eval_fns.items():
-                        self.validation(fn(), name)
+                        last_dice = self.validation(fn(), name)
                 if self.ckpt is not None and epoch % save_every == 0:
-                    self.ckpt.save(int(self.state.step), self.state)
+                    # checkpoints carry the latest validation dice like the
+                    # cardiac trainer's dice-tagged saves (`:572-587`)
+                    metrics = {"dice": last_dice} if last_dice is not None else None
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   metrics=metrics)
         finally:
             self._preemption.uninstall()
             self._preemption = None

@@ -41,7 +41,28 @@ class SummaryWriter:
             except (TypeError, ValueError):
                 continue
 
+    def add_histogram(self, name: str, values, step: int) -> None:
+        self._f.write(json.dumps({"ts": time.time(), "step": step,
+                                  "name": name, "hist": histogram_summary(values)})
+                      + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_histogram(name, values, step)
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def histogram_summary(values) -> dict:
+    """Compact histogram record (replaces tensorboardX add_histogram in the
+    reference's record_params path, `train_camus_echo.py:307-310`)."""
+    import numpy as np
+
+    v = np.asarray(values).ravel()
+    return {"count": int(v.size), "mean": float(v.mean()),
+            "std": float(v.std()), "min": float(v.min()),
+            "max": float(v.max()),
+            "p5": float(np.percentile(v, 5)),
+            "p95": float(np.percentile(v, 95))}
