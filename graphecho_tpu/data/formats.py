@@ -13,7 +13,7 @@ import gzip
 import os
 import struct
 import zlib
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -18,7 +18,7 @@ channel order — reproduced here exactly since the following conv is grouped.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax

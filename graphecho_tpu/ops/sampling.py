@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from graphecho_tpu.config import NodeSamplerConfig

@@ -67,6 +67,4 @@ def all_gather_nodes(x, axis_name: str = "data"):
     shard_map'd code that needs globally-visible nodes (the TPU analogue of
     the reference's dead `concat_all_gather`, `TGCN.py:315-326`; under plain
     GSPMD jit this is unnecessary — global semantics are automatic)."""
-    import jax.numpy as jnp  # noqa: F811
-
     return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)

@@ -7,7 +7,6 @@ Mirrors the reference trainers' data plumbing (`train_camus_echo.py:155-177`,
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Iterator
 
 import numpy as np

@@ -14,7 +14,6 @@ the production-serving surface of the rebuild:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ computed with global semantics, i.e. SyncBN for free.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
