@@ -11,6 +11,14 @@ Re-implements the reference `DataLoaderCamus` (`/root/reference/datasets/camus.p
     to `img_crop` (`:142-158`);
   * returns (image/255 (H, W, 1), masks (H, W, P), mask_index=0, index) —
     channel-LAST (the reference is channel-first; our batch contract is NHWC).
+
+Clip mode (`single_frame=False`): the reference's temporal-graph source loader
+is this same still dataset (`train_camus_echo.py:96-99` — CAMUS 4CH_ED is one
+frame; the reference's 5-D unpack of it at `:247` could never run). The working
+TPU equivalent tiles the still into a `clip_length`-frame clip:
+(T, H, W, 1) image, (T, H, W, P) masks — matching the
+`Seg_Cardiac_UDA_Dataset` 2-D-input tiling behavior
+(`/root/reference/datasets/cardiac_uda.py:216-221`).
 """
 
 from __future__ import annotations
@@ -35,13 +43,16 @@ class DataLoaderCamus:
                  img_res: Tuple[int, int] = (124, 124),
                  img_crop: Tuple[int, int] = (112, 112),
                  seg_parts: bool = True, train_ratio: float = 1.0,
-                 valid_ratio: float = 0.2, seed: int = RANDOM_SEED):
+                 valid_ratio: float = 0.2, seed: int = RANDOM_SEED,
+                 single_frame: bool = True, clip_length: int = 8):
         self.dataset_path = dataset_path
         self.input_name = input_name
         self.condition_name = condition_name
         self.img_res = img_res
         self.img_crop = img_crop
         self.seg_parts = seg_parts
+        self.single_frame = single_frame
+        self.clip_length = clip_length
         self.is_train = stage == "train"
         self._rng = np.random.RandomState(seed)
 
@@ -88,4 +99,10 @@ class DataLoaderCamus:
         img = img[..., None]
         img, masks = resize_and_crop(img, masks, self.img_res, self.img_crop,
                                      self.is_train, self._rng)
-        return img / 255.0, masks, 0, index
+        img = img / 255.0
+        if not self.single_frame:
+            # tile the still into a clip (see module docstring)
+            t = self.clip_length
+            return (np.broadcast_to(img, (t,) + img.shape).copy(),
+                    np.broadcast_to(masks, (t,) + masks.shape).copy(), 0, index)
+        return img, masks, 0, index

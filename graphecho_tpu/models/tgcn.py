@@ -78,8 +78,9 @@ class TGCN(nn.Module):
             dense = lambda f, name: nn.Dense(
                 f, dtype=self.dtype, kernel_init=nn.initializers.normal(0.01),
                 bias_init=nn.initializers.zeros, name=name)
-            ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False,
-                                           dtype=self.dtype, name=name)
+            ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_bias=False,
+                                           use_scale=False, dtype=self.dtype,
+                                           name=name)
             self.node_dis_layers = [dense(c, f"node_dis_{i}") for i in range(3)]
             self.node_dis_lns = [ln(f"node_dis_ln_{i}") for i in range(3)]
             self.node_dis_out = dense(1, "node_dis_out")
@@ -133,6 +134,12 @@ class TGCN(nn.Module):
         cfg = self.cfg
         losses: Dict[str, jnp.ndarray] = {}
         t_len, gh, gw = cfg.clip_shape
+        # the 3x3/s2 VALID pred head (`TGCN.py:184-190`) needs >=3 nodes per
+        # side or its output is empty (mean over zero elements -> NaN)
+        assert gh >= 3 and gw >= 3, (
+            f"TGCN node grid {gh}x{gw} too small for the prediction head; "
+            "pick img_crop / pool_ratios so each pyramid level pools to >=3 "
+            "(reference geometry: 256^2 images -> 8x8 grid)")
         b = pyramid_clips[0].shape[0]
 
         hidden = jnp.zeros((b, gh * gw, cfg.hidden_dim),

@@ -48,10 +48,14 @@ def create_mesh(data: Optional[int] = None, devices=None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put a host batch sharded on the leading axis."""
+    """Device-put a host batch sharded on the leading axis. Entries whose
+    leading dim does not divide the mesh (e.g. the (B/2,) `update_idx_*`
+    queue columns when B/2 < devices) are replicated — GSPMD still runs the
+    dependent compute data-parallel where it can."""
+    n = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
-        spec = P("data") if v.ndim >= 1 else P()
+        spec = P("data") if v.ndim >= 1 and v.shape[0] % n == 0 else P()
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 

@@ -1,29 +1,76 @@
 """Real-data training wiring: datasets → batch dicts → Trainer.
 
 Mirrors the reference trainers' data plumbing (`train_camus_echo.py:155-177`,
-`train_cardiac_uda.py:167-194`): source loader (CAMUS / Site_G), target loader
-(EchoNet / Site_R) cycled alongside, per-epoch validation loaders.
+`train_cardiac_uda.py:167-194`), with ALL branches wired:
+
+  * source loader (CAMUS / Site_G) + target loader (EchoNet / Site_R) cycled
+    alongside (`train_camus_echo.py:162-165`);
+  * temporal-graph clip loaders at batch 4 per domain
+    (`train_camus_echo.py:96-100`, `train_cardiac_uda.py:107-112`), feeding
+    `temp_imgs/temp_masks` plus `update_idx_*` queue columns;
+  * the 64-frame cycle-consistency clip loader
+    (`train_cardiac_uda.py:179-182`, consumed at `:245-253`);
+  * per-epoch validation incl. the `Site_R_full` video test with
+    `fill_mask=True` (`train_cardiac_uda.py:193-194,376-426`) and the inner
+    90/10 valid split (`:185-188`).
+
+update_idx mapping: the reference passes raw dataset indices into the TGCN
+momentum queue / clustering CE, sizing the classifier heads by `num_data`
+(`train_camus_echo.py:102-108`). Since EchoNet's num_data (~10k) dwarfs the
+K=150 queue (`TGCN.py:194`), indices here map onto queue columns with a ring
+`% K` (deterministic per video — clips of the same video always hit the same
+column; a collision between two videos only perturbs the contrastive bank, as
+any finite queue does).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from graphecho_tpu.config import camus_echo_config, cardiac_uda_config
+from graphecho_tpu.config import ExperimentConfig, camus_echo_config, cardiac_uda_config
 from graphecho_tpu.data.loader import DataLoader, cycled
 from graphecho_tpu.train.trainer import Trainer
 
+# reference temporal-clip loader batch size (`train_camus_echo.py:99-100`,
+# `train_cardiac_uda.py:111-112`)
+TEMPORAL_BATCH = 4
 
-def _batches(source_loader: DataLoader, target_iter, graph_matching: bool,
-             camus_mode: bool) -> Iterator[Dict[str, np.ndarray]]:
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x).astype(np.float32)
+
+
+def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
+             target_iter=None, temp_src_iter=None, temp_tgt_iter=None,
+             cyc_iter=None) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of train-step batch dicts (contract: `train/steps.py:66-76`)."""
+    t = cfg.train
     for imgs, masks, _, _ in source_loader:
-        batch = {"imgs_source": imgs.astype(np.float32),
-                 "masks": masks.astype(np.float32)}
-        if graph_matching:
-            timgs = next(target_iter)[0]
-            batch["imgs_target"] = timgs.astype(np.float32)
+        batch = {"imgs_source": _f32(imgs), "masks": _f32(masks)}
+        if t.graph_matching:
+            batch["imgs_target"] = _f32(next(target_iter)[0])
+        if t.temporal_graph:
+            s_clip, s_masks, _, s_idx = next(temp_src_iter)
+            t_clip, _, _, t_idx = next(temp_tgt_iter)
+            # the step needs equal source/target halves; trim short tail
+            # batches (the loaders keep tails so tiny datasets still train)
+            bc = min(len(s_clip), len(t_clip))
+            # concat source+target clips on the batch dim, source first
+            # (`train_camus_echo.py:246`)
+            batch["temp_imgs"] = np.concatenate(
+                [_f32(s_clip[:bc]), _f32(t_clip[:bc])], 0)
+            batch["temp_masks"] = _f32(s_masks[:bc])
+            k_src = min(cfg.tgcn.queue_size, cfg.tgcn.source_class)
+            k_tgt = min(cfg.tgcn.queue_size, cfg.tgcn.target_class)
+            batch["update_idx_source"] = (
+                np.asarray(s_idx)[:bc] % k_src).astype(np.int32)
+            batch["update_idx_target"] = (
+                np.asarray(t_idx)[:bc] % k_tgt).astype(np.int32)
+        if t.cyc_loss:
+            clip = _f32(next(cyc_iter)[0])  # (1, T64, H, W, 1)
+            batch["cyc_imgs"] = clip.reshape(-1, *clip.shape[2:])
         yield batch
 
 
@@ -35,22 +82,44 @@ def _eval_pairs(loader: DataLoader, first_channel_only: bool):
         yield imgs.astype(np.float32), masks
 
 
-def run_camus_echo(args) -> Trainer:
+def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
     from graphecho_tpu.data.camus import DataLoaderCamus
     from graphecho_tpu.data.echo import Echo
 
-    cfg = camus_echo_config(view_num=args.view_num,
-                            graph_matching=not args.no_graph_matching,
-                            discriminator=not args.no_discriminator)
-    src_train = DataLoaderCamus(args.camus_root, stage="train")
+    if cfg is None:
+        cfg = camus_echo_config(
+            view_num=args.view_num,
+            graph_matching=not args.no_graph_matching,
+            discriminator=not args.no_discriminator,
+            temporal_graph=args.temporal_graph)
+    d = cfg.data
+    src_train = DataLoaderCamus(args.camus_root, stage="train",
+                                img_res=d.img_res, img_crop=d.img_crop)
     tgt_train = Echo(args.echonet_root, split="train", validation=False)
-    src_loader = DataLoader(src_train, args.batch_size, num_workers=8)
+    src_loader = DataLoader(src_train, args.batch_size, num_workers=d.num_workers)
     # reference target batch = bs * 21 (`train_camus_echo.py:165`)
-    tgt_loader = DataLoader(tgt_train, args.batch_size * 21, num_workers=8,
-                            drop_last=False)
+    tgt_loader = DataLoader(tgt_train, args.batch_size * d.target_batch_mult,
+                            num_workers=d.num_workers, drop_last=False)
     tgt_iter = cycled(tgt_loader)
 
-    val_camus = DataLoader(DataLoaderCamus(args.camus_root, stage="valid"),
+    temp_src_iter = temp_tgt_iter = None
+    if cfg.train.temporal_graph:
+        # clip loaders, bs=4 each (`train_camus_echo.py:96-100`); CAMUS stills
+        # tile into clips, EchoNet supplies real traced-start clips
+        temp_src = DataLoaderCamus(args.camus_root, stage="train",
+                                   img_res=d.img_res, img_crop=d.img_crop,
+                                   single_frame=False,
+                                   clip_length=d.clip_length)
+        temp_tgt = Echo(args.echonet_root, split="train", validation=False,
+                        single_frame=False, length=d.clip_length)
+        temp_src_iter = cycled(DataLoader(temp_src, TEMPORAL_BATCH,
+                                          num_workers=4, drop_last=False))
+        temp_tgt_iter = cycled(DataLoader(temp_tgt, TEMPORAL_BATCH,
+                                          num_workers=4, drop_last=False))
+
+    val_camus = DataLoader(DataLoaderCamus(args.camus_root, stage="valid",
+                                           img_res=d.img_res,
+                                           img_crop=d.img_crop),
                            1, shuffle=False, drop_last=False)
     val_echo = DataLoader(Echo(args.echonet_root, split="val"),
                           1, shuffle=False, drop_last=False)
@@ -58,10 +127,15 @@ def run_camus_echo(args) -> Trainer:
     trainer = Trainer(cfg, steps_per_epoch=len(src_loader),
                       use_mesh=args.use_mesh, log_path=_log(args),
                       checkpoint_dir=args.save_dir, summary_dir=args.log_dir)
-    first = next(_batches(src_loader, tgt_iter, cfg.train.graph_matching, True))
-    trainer.init_state(first)
+
+    def batches():
+        return _batches(src_loader, cfg, target_iter=tgt_iter,
+                        temp_src_iter=temp_src_iter,
+                        temp_tgt_iter=temp_tgt_iter)
+
+    trainer.init_state(next(batches()))
     trainer.train(
-        lambda: _batches(src_loader, tgt_iter, cfg.train.graph_matching, True),
+        batches,
         num_epochs=args.epochs,
         eval_fns={
             "Inner-Val": lambda: _eval_pairs(val_camus, True),
@@ -70,42 +144,112 @@ def run_camus_echo(args) -> Trainer:
     return trainer
 
 
-def run_cardiac_uda(args) -> Trainer:
+def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
     from graphecho_tpu.data.cardiac_uda import SegCardiacUDADataset
 
     infos = np.load(args.infos, allow_pickle=True).item()
-    cfg = cardiac_uda_config(view_num=args.view_num,
-                             graph_matching=not args.no_graph_matching,
-                             discriminator=not args.no_discriminator)
+    if cfg is None:
+        cfg = cardiac_uda_config(
+            view_num=args.view_num,
+            graph_matching=not args.no_graph_matching,
+            discriminator=not args.no_discriminator,
+            temporal_graph=args.temporal_graph,
+            cyc_loss=args.cyc_loss)
+    d = cfg.data
+    view = (d.view_num,)
+    dims = dict(spatial_size=d.img_res[0], crop_size=d.img_crop[0],
+                view_num=view, seg_parts=d.seg_parts)
     src_train = SegCardiacUDADataset(infos, args.root, is_train=True,
-                                     set_select=("Site_G",),
-                                     view_num=(args.view_num,))
+                                     set_select=("Site_G",), **dims)
     tgt_train = SegCardiacUDADataset(infos, args.root, is_train=True,
                                      set_select=("Site_R",),
-                                     view_num=(args.view_num,),
-                                     source_domain=False)
+                                     source_domain=False, **dims)
     # reference: source bs*2, target bs (`train_cardiac_uda.py:174-177`)
-    src_loader = DataLoader(src_train, args.batch_size * 2, num_workers=8)
-    tgt_loader = DataLoader(tgt_train, args.batch_size, num_workers=8,
-                            drop_last=False)
+    src_loader = DataLoader(src_train, args.batch_size * 2,
+                            num_workers=d.num_workers)
+    tgt_loader = DataLoader(tgt_train, args.batch_size,
+                            num_workers=d.num_workers, drop_last=False)
     tgt_iter = cycled(tgt_loader)
 
+    temp_src_iter = temp_tgt_iter = cyc_iter = None
+    if cfg.train.temporal_graph:
+        # clip loaders bs=4, target oversampled 2x
+        # (`train_cardiac_uda.py:107-112`; the reference's set_select names
+        # 'gy'/'rmyy' are the authors' internal site ids for Site_G/Site_R)
+        temp_src = SegCardiacUDADataset(infos, args.root, is_train=True,
+                                        set_select=("Site_G",),
+                                        single_frame=False,
+                                        clip_length=d.clip_length,
+                                        total_length=d.total_length, **dims)
+        temp_tgt = SegCardiacUDADataset(infos, args.root, is_train=True,
+                                        set_select=("Site_R",), repeat=2,
+                                        source_domain=False,
+                                        single_frame=False,
+                                        clip_length=d.clip_length,
+                                        total_length=d.total_length, **dims)
+        temp_src_iter = cycled(DataLoader(temp_src, TEMPORAL_BATCH,
+                                          num_workers=4, drop_last=False))
+        temp_tgt_iter = cycled(DataLoader(temp_tgt, TEMPORAL_BATCH,
+                                          num_workers=4, drop_last=False))
+    if cfg.train.cyc_loss:
+        # 64-frame clips, bs=1 (`train_cardiac_uda.py:179-182`). Deviation:
+        # the reference loads a separate hardcoded `save_infos_reg.npy` from
+        # the author's home dir; we reuse the experiment's own infos dict.
+        cyc_ds = SegCardiacUDADataset(
+            infos, args.root, is_train=True, set_select=("Site_G",),
+            single_frame=False, clip_length=cfg.cycle.clip_length,
+            total_length=cfg.cycle.clip_length, **dims)
+        cyc_iter = cycled(DataLoader(cyc_ds, 1, num_workers=2,
+                                     drop_last=False))
+
+    # inner 90/10 valid split (`train_cardiac_uda.py:185-188`). Deviation: the
+    # reference selects set_select=['Site_R'] for these Site_G patient ids,
+    # which cannot resolve (the ids aren't in the Site_R dict); we look them
+    # up in Site_G where they exist.
+    val_loader = DataLoader(
+        SegCardiacUDADataset(infos, args.root, is_train=False,
+                             data_list=src_train.valid_list,
+                             set_select=("Site_G",), **dims),
+        1, shuffle=False, drop_last=False)
     test_target = DataLoader(
         SegCardiacUDADataset(infos, args.root, is_train=False,
                              data_list=tgt_train.test_list,
-                             set_select=("Site_R",),
-                             view_num=(args.view_num,)),
+                             set_select=("Site_R",), **dims),
+        1, shuffle=False, drop_last=False)
+    # Site_R_full video test with filled contour masks
+    # (`train_cardiac_uda.py:193-194`), flattened (B,T,...)->(B*T,...) in eval
+    video_sites = {v["dataset_name"] for v in infos.values()}
+    video_select = ("Site_R_full",) if "Site_R_full" in video_sites else ("Site_R",)
+    video_test = DataLoader(
+        SegCardiacUDADataset(infos, args.root, is_train=False,
+                             set_select=video_select, single_frame=False,
+                             clip_length=d.clip_length,
+                             total_length=d.total_length, fill_mask=True,
+                             seed=0, **dims),
         1, shuffle=False, drop_last=False)
 
     trainer = Trainer(cfg, steps_per_epoch=len(src_loader),
                       use_mesh=args.use_mesh, log_path=_log(args),
                       checkpoint_dir=args.save_dir, summary_dir=args.log_dir)
-    first = next(_batches(src_loader, tgt_iter, cfg.train.graph_matching, False))
-    trainer.init_state(first)
+
+    def batches():
+        return _batches(src_loader, cfg, target_iter=tgt_iter,
+                        temp_src_iter=temp_src_iter,
+                        temp_tgt_iter=temp_tgt_iter, cyc_iter=cyc_iter)
+
+    trainer.init_state(next(batches()))
     trainer.train(
-        lambda: _batches(src_loader, tgt_iter, cfg.train.graph_matching, False),
+        batches,
         num_epochs=args.epochs,
-        eval_fns={"Target Domain - Test": lambda: _eval_pairs(test_target, False)})
+        eval_fns={
+            "Inner-Val": lambda: _eval_pairs(val_loader, False),
+            "Target Domain - Test": lambda: _eval_pairs(test_target, False),
+            "Target Domain - Video Test":
+                (lambda: _eval_pairs(video_test, False), True),
+        },
+        # checkpoints tagged with the VIDEO test dice, like the reference's
+        # dice-named saves (`train_cardiac_uda.py:371-372,572-587`)
+        select_metric="Target Domain - Video Test")
     return trainer
 
 

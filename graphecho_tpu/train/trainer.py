@@ -84,6 +84,7 @@ class Trainer:
         self.step_timer = StepTimer()
         self._preemption: Optional[PreemptionGuard] = None
         self.state: Optional[TrainState] = None
+        self.last_epoch_metrics: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ setup
     def init_state(self, sample_batch: Dict[str, Any],
@@ -153,14 +154,21 @@ class Trainer:
             "epoch %d | %d steps | loss %.4f | seg %.4f | %.1fs", epoch, n,
             means.get("total_loss", float("nan")),
             means.get("seg_loss", float("nan")), means["epoch_seconds"])
+        self.last_epoch_metrics = means
         return means
 
     def train(self, batch_iter_fn: Callable[[], Iterable[Dict[str, Any]]],
               num_epochs: Optional[int] = None,
-              eval_fns: Optional[Dict[str, Callable[[], Iterable]]] = None,
-              save_every: int = 1) -> TrainState:
+              eval_fns: Optional[Dict[str, Any]] = None,
+              save_every: int = 1,
+              select_metric: Optional[str] = None) -> TrainState:
         """batch_iter_fn: returns a fresh finite batch iterator per epoch.
-        eval_fns: name -> fn returning (imgs, masks) eval batches."""
+        eval_fns: name -> fn returning (imgs, masks) eval batches, or a
+        (fn, is_video) tuple for video eval sets (flattened like the
+        reference, `train_cardiac_uda.py:384-387`).
+        select_metric: which eval set's dice tags the checkpoint (the
+        reference tags saves with the VIDEO TEST dice specifically,
+        `train_cardiac_uda.py:371-372,572-587`); defaults to the last one."""
         num_epochs = num_epochs or self.cfg.train.num_epochs
         self._preemption = PreemptionGuard()
         try:
@@ -168,14 +176,22 @@ class Trainer:
                 self.train_epoch(batch_iter_fn(), epoch)
                 if self._preemption.should_stop:
                     break
-                last_dice = None
+                dices: Dict[str, float] = {}
                 if eval_fns:
                     for name, fn in eval_fns.items():
-                        last_dice = self.validation(fn(), name)
+                        is_video = False
+                        if isinstance(fn, tuple):
+                            fn, is_video = fn
+                        dices[name] = self.validation(fn(), name,
+                                                      is_video=is_video)
                 if self.ckpt is not None and epoch % save_every == 0:
-                    # checkpoints carry the latest validation dice like the
-                    # cardiac trainer's dice-tagged saves (`:572-587`)
-                    metrics = {"dice": last_dice} if last_dice is not None else None
+                    metrics = None
+                    if dices:
+                        sel = (select_metric if select_metric in dices
+                               else next(reversed(dices)))
+                        metrics = {"dice": dices[sel], "dice_metric": sel}
+                        metrics.update({f"dice/{k}": v
+                                        for k, v in dices.items()})
                     self.ckpt.save(int(self.state.step), self.state,
                                    metrics=metrics)
         finally:
@@ -207,6 +223,9 @@ class Trainer:
                 d = part_totals.setdefault(p, {})
                 for k, v in c.items():
                     d[k] = d.get(k, 0.0) + v
+        if not totals:
+            self.logger.warning("validation [%s]: no batches, dice=0", name)
+            return 0.0
         m = overlap_metrics_from_counts(totals)
         self.logger.info(
             "validation [%s] | loss %.4f | pixel_acc %.4f | dice %.4f | "

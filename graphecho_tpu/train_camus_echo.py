@@ -31,11 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-graph-matching", action="store_true")
     p.add_argument("--no-discriminator", action="store_true")
     p.add_argument("--temporal-graph", action="store_true")
+    # multi-host bootstrap (reference NCCL init `train_camus_echo.py:526-535`;
+    # TPU-native: jax.distributed.initialize via parallel.mesh)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host only)")
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from graphecho_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
     if args.camus_root and args.echonet_root:
         from graphecho_tpu.real_training import run_camus_echo
 
