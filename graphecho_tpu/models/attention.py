@@ -64,7 +64,7 @@ class MultiHeadAttention(nn.Module):
 
         out = nn.Dense(self.model_dim, dtype=self.dtype, name="linear_final")(context)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
-        out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(residual + out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(residual + out)
 
         attn = attn[0] if self.num_heads == 1 else attn
         return out, attn
@@ -84,7 +84,7 @@ class CrossGraph(nn.Module):
         linear_edge = nn.Dense(self.model_dim, dtype=self.dtype, name="linear_edge")
         linear_node1 = nn.Dense(self.model_dim, dtype=self.dtype, name="linear_node1")
         linear_final = nn.Dense(self.model_dim, dtype=self.dtype, name="linear_final")
-        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
 
         edge1 = linear_edge(node_1)

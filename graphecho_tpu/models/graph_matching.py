@@ -93,8 +93,10 @@ class GroupedNodes(NamedTuple):
 
 
 def _select_class(nodes: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray,
-                  cls: int, slots: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather up to `slots` nodes of class `cls` (original order) + validity."""
+                  weights: jnp.ndarray, cls: int, slots: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather up to `slots` nodes of class `cls` (original order), their
+    sampled confidence weights, and slot validity."""
     n = nodes.shape[0]
     mask = (labels == cls) & valid
     # 2**30 stays a Python int: device-array constants stall axon compiles
@@ -102,7 +104,8 @@ def _select_class(nodes: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray,
     order = jnp.argsort(key)[:slots]
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), slots)
     slot_valid = jnp.arange(slots) < count
-    return nodes[order] * slot_valid[:, None], slot_valid
+    return (nodes[order] * slot_valid[:, None], weights[order] * slot_valid,
+            slot_valid)
 
 
 def _masked_mean_std(x: jnp.ndarray, valid: jnp.ndarray
@@ -142,8 +145,11 @@ class GModule(nn.Module):
         dense = lambda f, name: nn.Dense(f, dtype=self.dtype,
                                          kernel_init=nn.initializers.normal(0.01),
                                          bias_init=nn.initializers.zeros, name=name)
-        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False,
-                                       dtype=self.dtype, name=name)
+        # epsilon=1e-5 matches torch nn.LayerNorm (flax defaults to 1e-6;
+        # the mismatch compounds to ~5e-3 across the attention stack)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_bias=False,
+                                       use_scale=False, dtype=self.dtype,
+                                       name=name)
         # head_in_ln (`graph_matching.py:148-154`)
         self.head_in_1 = dense(c, "head_in_1")
         self.head_in_ln1 = ln("head_in_ln1")
@@ -203,13 +209,12 @@ class GModule(nn.Module):
         sr_seed, tg_seed = seeds
         classes = jnp.arange(C, dtype=jnp.int32)
 
-        def select(proj, labels, valid, c):
-            return _select_class(proj, labels, valid, c, S)
-
-        sn0, sv0 = jax.vmap(lambda c: select(nodes_s_proj, src.labels,
-                                             src.valid, c))(classes)
-        tn0, tv0 = jax.vmap(lambda c: select(nodes_t_proj, tgt.labels,
-                                             tgt.valid, c))(classes)
+        sn0, sw0, sv0 = jax.vmap(
+            lambda c: _select_class(nodes_s_proj, src.labels, src.valid,
+                                    src.weights, c, S))(classes)
+        tn0, tw0, tv0 = jax.vmap(
+            lambda c: _select_class(nodes_t_proj, tgt.labels, tgt.valid,
+                                    tgt.weights, c, S))(classes)
         s_cnt = jnp.sum(sv0.astype(jnp.int32), axis=1)  # (C,)
         t_cnt = jnp.sum(tv0.astype(jnp.int32), axis=1)
         s_present = s_cnt > 0
@@ -247,15 +252,18 @@ class GModule(nn.Module):
         sv = jnp.where(use_hall_s, tv0, sv0)  # mirror the other domain's count
         tn = jnp.where(use_hall_t[..., None], hall_t, tn0)
         tv = jnp.where(use_hall_t, sv0, tv0)
+        # hallucinated slots get confidence 1.0 (`:448,472`)
+        sw = jnp.where(use_hall_s, 1.0, sw0)
+        tw = jnp.where(use_hall_t, 1.0, tw0)
 
         labels = jnp.repeat(classes, S)
         vs = sv.reshape(-1)
         vt = tv.reshape(-1)
         d = sn.shape[-1]
         grouped_s = GroupedNodes(sn.reshape(-1, d) * vs[:, None], labels,
-                                 vs.astype(jnp.float32), vs)
+                                 sw.reshape(-1) * vs, vs)
         grouped_t = GroupedNodes(tn.reshape(-1, d) * vt[:, None], labels,
-                                 vt.astype(jnp.float32), vt)
+                                 tw.reshape(-1) * vt, vt)
         return grouped_s, grouped_t
 
     def _update_seeds(self, nodes: jnp.ndarray, labels: jnp.ndarray,
@@ -286,20 +294,32 @@ class GModule(nn.Module):
 
         return jax.vmap(one_class)(seed, nodes, valid_c)
 
+    def _elem_matching_loss(self, p: jnp.ndarray, target: jnp.ndarray,
+                            mask: jnp.ndarray) -> jnp.ndarray:
+        """The configurable matching loss (`graph_matching.py:182-188`):
+        'FL' focal BCE (elementwise mean over valid entries, the shipped
+        default), 'L1'/'MSE' with the reference's reduction='sum'."""
+        lt = self.cfg.matching_loss_type
+        if lt == "L1":
+            return jnp.sum(jnp.abs(p - target) * mask.astype(p.dtype))
+        if lt == "MSE":
+            return jnp.sum(((p - target) ** 2) * mask.astype(p.dtype))
+        return bce_focal_loss_probs(p, target, mask=mask)
+
     def _matching_losses(self, g1: GroupedNodes, g2: GroupedNodes,
                          edges_1: jnp.ndarray, edges_2: jnp.ndarray
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Affinity + Sinkhorn + o2o focal loss (`_forward_aff`, `:569-599`)
+        """Affinity + Sinkhorn + o2o matching loss (`_forward_aff`, `:569-599`)
         and quadratic loss (`_forward_qu`, `:604-607`), masked. The 'm2m'
         alternative (`:592-595`) skips InstanceNorm/Sinkhorn and applies the
-        focal loss on sigmoid(M) directly."""
+        matching loss on sigmoid(M) directly."""
         cfg = self.cfg
         m = self.node_affinity(g1.nodes, g2.nodes)  # (N1, N2)
         pair_valid = g1.valid[:, None] & g2.valid[None, :]
         target = (g1.labels[:, None] == g2.labels[None, :]) & pair_valid
 
         if cfg.matching_cfg == "m2m":
-            matching_loss = bce_focal_loss_probs(
+            matching_loss = self._elem_matching_loss(
                 jax.nn.sigmoid(m), target.astype(m.dtype), mask=pair_valid)
             mm = jax.nn.sigmoid(m) * pair_valid
             e1 = jax.lax.stop_gradient(edges_1) * pair_row(g1.valid)
@@ -319,13 +339,16 @@ class GModule(nn.Module):
         tp_samples = jnp.take_along_axis(m, idx[:, None], axis=-1)[:, 0]
         tp_valid = g1.valid
         n_tp = jnp.maximum(jnp.sum(tp_valid.astype(m.dtype)), 1.0)
-        tp_loss = bce_focal_loss_probs(tp_samples, jnp.ones_like(tp_samples),
-                                       mask=tp_valid) / n_tp
+        # reference quirk kept: the FL path is elementwise-mean AND divided by
+        # len(TP) again (`:587`); L1/MSE are sum-reduced then divided (`:181-184`)
+        tp_loss = self._elem_matching_loss(
+            tp_samples, jnp.ones_like(tp_samples), mask=tp_valid) / n_tp
 
         fp_mask = (~target) & pair_valid
         fp_sum = jax.lax.stop_gradient(
             jnp.maximum(jnp.sum(jnp.where(fp_mask, m, 0.0)), 1e-8))
-        fp_loss = bce_focal_loss_probs(m, jnp.zeros_like(m), mask=fp_mask) / fp_sum
+        fp_loss = self._elem_matching_loss(
+            m, jnp.zeros_like(m), mask=fp_mask) / fp_sum
         matching_loss = tp_loss + fp_loss
 
         # quadratic structure loss: R = E1 M - M E2, L1 -> 0 (`:604-607`)
@@ -412,13 +435,17 @@ class GModule(nn.Module):
             losses["dis_loss"] = enough * self._node_dis_loss(
                 g1.nodes, g1.valid, g2.nodes, g2.valid)
 
-        # node classification loss (`:505-530`)
+        # node classification loss (`:505-530`); with_score_weight scales each
+        # node's CE by its sampled confidence (1.0 for source/hallucinated
+        # nodes, the pseudo-label score for target nodes, `:527-529`)
         all_nodes = jnp.concatenate([g1.nodes, g2.nodes], axis=0)
         all_labels = jnp.concatenate([g1.labels, g2.labels], axis=0)
         all_valid = jnp.concatenate([g1.valid, g2.valid], axis=0)
         logits = self.node_cls_2(nn.relu(self.node_cls_1(all_nodes)))
+        ce_w = (jnp.concatenate([g1.weights, g2.weights], axis=0)
+                if cfg.with_score_weight else None)
         losses["node_loss"] = enough * cfg.weight_nodes * cross_entropy(
-            logits, all_labels, mask=all_valid)
+            logits, all_labels, weight=ce_w, mask=all_valid)
 
         if cfg.matching_cfg != "none":
             mat_aff, mat_qu = self._matching_losses(g1, g2, edges_1, edges_2)

@@ -273,6 +273,47 @@ def test_gmodule_m2m_and_global_graph():
         assert np.isfinite(float(v)), k
 
 
+def test_gmodule_matching_loss_types_and_score_weight():
+    """The L1/MSE matching-loss alternatives (`graph_matching.py:182-188`)
+    and with_score_weight node-CE weighting (`:519-529`) are live knobs
+    (VERDICT r1 item 6)."""
+    import dataclasses
+
+    rng = np.random.RandomState(10)
+    base = GModuleConfig(in_channels=32, num_classes=3, nodes_per_class=16)
+    src = _toy_nodeset(rng, 64, 32, 3, 40)
+    # target with non-trivial confidence weights
+    tgt = _toy_nodeset(rng, 64, 32, 3, 30)
+    tgt = tgt._replace(weights=jnp.asarray(
+        (rng.rand(64) * np.asarray(tgt.valid)).astype(np.float32)))
+    seeds = (jnp.asarray(rng.randn(3, 32).astype(np.float32)),
+             jnp.asarray(rng.randn(3, 32).astype(np.float32)))
+
+    def run(cfg):
+        gm = GModule(cfg)
+        variables = gm.init({"params": jax.random.PRNGKey(0),
+                             "gmodule": jax.random.PRNGKey(1),
+                             "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+        losses, _, _ = gm.apply(
+            variables, src, tgt, seeds, train=True,
+            rngs={"gmodule": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)})
+        return {k: float(v) for k, v in losses.items()}
+
+    fl = run(base)
+    l1 = run(dataclasses.replace(base, matching_loss_type="L1"))
+    mse = run(dataclasses.replace(base, matching_loss_type="MSE"))
+    for d in (fl, l1, mse):
+        assert np.isfinite(d["mat_loss_aff"])
+    # the knob changes the loss value (same params/rngs otherwise)
+    assert fl["mat_loss_aff"] != l1["mat_loss_aff"]
+    assert l1["mat_loss_aff"] != mse["mat_loss_aff"]
+
+    sw = run(dataclasses.replace(base, with_score_weight=True))
+    assert np.isfinite(sw["node_loss"])
+    assert sw["node_loss"] != fl["node_loss"]
+
+
 def test_tgcn_gru_cells():
     from graphecho_tpu.models.tgcn_cells import (
         TGCNCell, laplacian_with_self_loop, laplacian_without_self_loop)

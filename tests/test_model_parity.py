@@ -136,3 +136,187 @@ def test_fpn_vgg_full_forward_parity():
     for fj, ft in zip(feats_j, feats_t):
         np.testing.assert_allclose(np.asarray(fj),
                                    ft.permute(0, 2, 3, 1).numpy(), atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# End-to-end GModule parity: torch re-run of the reference _forward_train
+# (`/root/reference/models/graph_matching.py:244-352`) with transplanted
+# weights, composed — not piecewise (VERDICT r1 item 3).
+#
+# Conditions that make static-slot and variable-length pipelines identical:
+# every class has EXACTLY nodes_per_class nodes in both domains (slots fully
+# valid, no truncation, no hallucination), <=20 nodes/class (plain-mean seed
+# update, no spectral branch), dropout off (train=False / no dropout in the
+# torch re-run).
+# --------------------------------------------------------------------------
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a).copy())
+
+
+def _torch_linear(x, params):
+    return x @ _t(params["kernel"]) + _t(params["bias"])
+
+
+def _torch_ln_noaffine(x):
+    return F.layer_norm(x, (x.shape[-1],))
+
+
+def _torch_mha(x_key, x_value, x_query, p):
+    """Reference MultiHeadAttention v2, heads=1, eval (transformer.py:43-75)."""
+    residual = x_query
+    k = _torch_linear(x_key, p["linear_k"])
+    v = _torch_linear(x_value, p["linear_v"])
+    q = _torch_linear(x_query, p["linear_q"])
+    scale = k.shape[-1] ** -0.5
+    attn = torch.softmax(q @ k.T * scale, dim=-1)
+    out = attn @ v
+    out = _torch_linear(out, p["linear_final"])
+    out = F.layer_norm(residual + out, (out.shape[-1],),
+                       _t(p["layer_norm"]["scale"]), _t(p["layer_norm"]["bias"]))
+    return out, attn
+
+
+def _torch_sinkhorn_rpm(log_alpha, n_iters=20):
+    """Slack log-domain Sinkhorn (`graph_matching.py:637-689`)."""
+    la = F.pad(log_alpha[None], (0, 1, 0, 1))  # zero slack row+col
+    for _ in range(n_iters):
+        la = torch.cat([la[:, :-1] - torch.logsumexp(la[:, :-1], 2, keepdim=True),
+                        la[:, -1:]], 1)
+        la = torch.cat([la[:, :, :-1] - torch.logsumexp(la[:, :, :-1], 1,
+                                                        keepdim=True),
+                        la[:, :, -1:]], 2)
+    return la[0, :-1, :-1]
+
+
+def _torch_focal(p, target, gamma=2.0, alpha=0.25):
+    """BCEFocalLoss, elementwise_mean (`graph_matching.py:23-45`)."""
+    p = torch.clamp(p, 1e-7, 1 - 1e-7)
+    loss = (-alpha * (1 - p) ** gamma * target * torch.log(p)
+            - (1 - alpha) * p ** gamma * (1 - target) * torch.log(1 - p))
+    return loss.mean()
+
+
+def test_gmodule_forward_train_composed_parity():
+    from graphecho_tpu.config import GModuleConfig
+    from graphecho_tpu.models import GModule
+    from graphecho_tpu.ops.sampling import NodeSet
+
+    rng = np.random.RandomState(42)
+    C, D, S = 3, 32, 16
+    cfg = GModuleConfig(in_channels=D, num_classes=C, nodes_per_class=S)
+
+    def make_nodes(seed):
+        r = np.random.RandomState(seed)
+        labels = np.concatenate([np.full(S, c) for c in range(C)])
+        perm = r.permutation(C * S)  # interleaved arrival order
+        pts = r.randn(C * S, D).astype(np.float32)
+        return NodeSet(points=jnp.asarray(pts),
+                       labels=jnp.asarray(labels[perm].astype(np.int32)),
+                       weights=jnp.ones(C * S, jnp.float32),
+                       valid=jnp.ones(C * S, bool)), pts, labels[perm]
+
+    src, src_pts, src_lbl = make_nodes(1)
+    tgt, tgt_pts, tgt_lbl = make_nodes(2)
+    seeds_np = (rng.randn(C, D).astype(np.float32),
+                rng.randn(C, D).astype(np.float32))
+    seeds = (jnp.asarray(seeds_np[0]), jnp.asarray(seeds_np[1]))
+
+    gm = GModule(cfg)
+    variables = gm.init({"params": jax.random.PRNGKey(0),
+                         "gmodule": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)}, src, tgt, seeds)
+    losses, new_seeds, (g1, g2) = gm.apply(variables, src, tgt, seeds,
+                                           train=False)
+    p = variables["params"]
+
+    # ---- torch re-run of _forward_train, steps 1-12 of SURVEY §3.2 ----
+    ts, tt = _t(src_pts), _t(tgt_pts)
+
+    # step 4: node-domain discriminator at 'feat' on RAW nodes (`:263-270`)
+    x = torch.cat([ts, tt], 0)
+    for i in range(3):
+        x = F.relu(_torch_ln_noaffine(_torch_linear(x, p[f"node_dis_{i}"])))
+    d_logits = _torch_linear(x, p["node_dis_out"])[:, 0]
+    d_target = torch.cat([torch.ones(len(ts)), torch.zeros(len(tt))])
+    want_dis = 0.1 * F.binary_cross_entropy_with_logits(d_logits, d_target)
+
+    # step 5: head_in_ln (`:148-154`)
+    def head_in(x):
+        x = F.relu(_torch_ln_noaffine(_torch_linear(x, p["head_in_1"])))
+        return _torch_ln_noaffine(_torch_linear(x, p["head_in_2"]))
+
+    hs, ht = head_in(ts), head_in(tt)
+
+    # step 6: class-grouped regrouping, ascending class (`:381-430`)
+    def group(nodes, labels):
+        return torch.cat([nodes[np.where(labels == c)[0]] for c in range(C)], 0)
+
+    n1 = group(hs, src_lbl)
+    n2 = group(ht, tgt_lbl)
+    glabels = torch.arange(C).repeat_interleave(S)
+
+    # step 7: intra-domain graph (`:485-487`)
+    n1, e1 = _torch_mha(n1, n1, n1, p["intra_domain_graph"])
+    n2, e2 = _torch_mha(n2, n2, n2, p["intra_domain_graph"])
+
+    # step 8: seed update, plain-mean branch (<=20 nodes) (`:532-567`)
+    def update_seed(nodes, seed):
+        out = []
+        for c in range(C):
+            bs = nodes[glabels == c].detach().mean(0)
+            s = _t(seed[c])
+            cos = F.cosine_similarity(bs[None], s[None])[0]
+            out.append(s * cos + bs * (1 - cos))
+        return torch.stack(out)
+
+    want_sr = update_seed(n1, seeds_np[0])
+    want_tg = update_seed(n2, seeds_np[1])
+
+    # step 9: cross-domain graph (`:489-503`)
+    n2e, _ = _torch_mha(n1, n1, n2, p["cross_domain_graph"])
+    n1e, _ = _torch_mha(n2, n2, n1, p["cross_domain_graph"])
+    n1, n2 = n1e, n2e
+
+    # step 10: node classification CE (`:505-530`)
+    alln = torch.cat([n1, n2], 0)
+    logits = _torch_linear(F.relu(_torch_linear(alln, p["node_cls_1"])),
+                           p["node_cls_2"])
+    want_node = F.cross_entropy(logits, glabels.repeat(2))
+
+    # step 11: affinity + IN + slack Sinkhorn + o2o focal (`:569-599`)
+    pa = p["node_affinity"]
+    xa = n1 @ _t(pa["project_sr"]["kernel"])
+    ya = n2 @ _t(pa["project_tg"]["kernel"])
+    a = xa @ _t(pa["fc1_wx"]) + _t(pa["fc1_b"])
+    b = ya @ _t(pa["fc1_wy"])
+    m = F.relu(a[:, None, :] + b[None, :, :]) @ _t(pa["fc2_w"]) + _t(pa["fc2_b"])
+    m = (m - m.mean()) / torch.sqrt(m.var(unbiased=False) + 1e-5)  # IN2d(1)
+    m = _torch_sinkhorn_rpm(m, n_iters=20).exp()
+    match_target = (glabels[:, None] == glabels[None, :]).float()
+    idx = (m * match_target).max(-1)[1]
+    tp = m[torch.arange(m.shape[0]), idx]
+    tp_loss = _torch_focal(tp, torch.ones_like(tp)) / len(tp)
+    fp = m[match_target == 0]
+    fp_loss = _torch_focal(fp, torch.zeros_like(fp)) / fp.sum().detach()
+    want_aff = 0.1 * (tp_loss + fp_loss)
+
+    # step 12: quadratic loss (`:604-607`)
+    r = e1.detach() @ m - m @ e2.detach()
+    want_qu = torch.abs(r).mean()
+
+    np.testing.assert_allclose(float(losses["dis_loss"]), float(want_dis),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(losses["node_loss"]), float(want_node),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(losses["mat_loss_aff"]), float(want_aff),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(losses["mat_loss_qu"]), float(want_qu),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_seeds[0]), want_sr.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(new_seeds[1]), want_tg.numpy(),
+                               atol=1e-3)
+    # the grouped nodes the step hands to the TGCN match too
+    np.testing.assert_allclose(np.asarray(g1.nodes), n1.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2.nodes), n2.numpy(), atol=1e-3)
