@@ -54,19 +54,33 @@ def dense_knn(x: jnp.ndarray, y: Optional[jnp.ndarray] = None, k: int = 16,
     n = x.shape[1]
     if n > n_part:
         yy = x if y is None else y
+        b, m = x.shape[0], yy.shape[1]
         pad = (-n) % n_part
         xq = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
-        chunks = xq.reshape(x.shape[0], -1, n_part, x.shape[-1])
+        chunks = jnp.swapaxes(
+            xq.reshape(b, -1, n_part, x.shape[-1]), 0, 1)
 
-        def one_chunk(q):
-            dist = pairwise_sq_distance(q, yy)
-            if relative_pos is not None:
-                dist = dist  # per-chunk bias slices omitted on the big-N path
-            _, idx = jax.lax.top_k(-dist, k)
-            return idx.astype(jnp.int32)
+        if relative_pos is not None:
+            # per-chunk bias slice, like the reference's
+            # `relative_pos[:, start:end]` (`vig.py:297-298`)
+            rp = jnp.broadcast_to(relative_pos, (b, n, m))
+            if pad:
+                rp = jnp.pad(rp, ((0, 0), (0, pad), (0, 0)))
+            rp_chunks = jnp.swapaxes(rp.reshape(b, -1, n_part, m), 0, 1)
 
-        idx = jax.lax.map(one_chunk, jnp.swapaxes(chunks, 0, 1))
-        idx = jnp.swapaxes(idx, 0, 1).reshape(x.shape[0], -1, k)
+            def one_chunk_rp(args):
+                q, r = args
+                _, idx = jax.lax.top_k(-(pairwise_sq_distance(q, yy) + r), k)
+                return idx.astype(jnp.int32)
+
+            idx = jax.lax.map(one_chunk_rp, (chunks, rp_chunks))
+        else:
+            def one_chunk(q):
+                _, idx = jax.lax.top_k(-pairwise_sq_distance(q, yy), k)
+                return idx.astype(jnp.int32)
+
+            idx = jax.lax.map(one_chunk, chunks)
+        idx = jnp.swapaxes(idx, 0, 1).reshape(b, -1, k)
         return idx[:, :n]
     dist = pairwise_sq_distance(x, y)
     if relative_pos is not None:

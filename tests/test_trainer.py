@@ -79,6 +79,50 @@ def test_data_parallel_step_matches_single_device():
                                float(metrics_mesh["total_loss"]), rtol=1e-4)
 
 
+def test_data_parallel_full_model_matches_single_device():
+    """Mesh-vs-single-device loss parity for the FULL model — graph matching,
+    discriminators, temporal graph (GModule node sampling flattens B·H·W,
+    exactly the code GSPMD could mishandle), and cycle loss (VERDICT r1
+    item 2)."""
+    import dataclasses as dc
+
+    from graphecho_tpu.config import CycleConfig, TGCNConfig
+
+    cfg = tiny_config(graph_matching=True, discriminator=True,
+                      temporal_graph=True, cyc_loss=True)
+    cfg = dc.replace(
+        cfg,
+        data=dc.replace(cfg.data, img_crop=(128, 128), batch_size=8,
+                        target_batch_mult=1),
+        tgcn=TGCNConfig(clip_shape=(2, 4, 4), pool_ratios=(8, 4, 2, 1),
+                        knn_k=4, queue_size=10,
+                        cluster_method="momentum_queue"),
+        cycle=CycleConfig(clip_length=24))
+    models = build_models(cfg)
+    optimizers = Optimizers(cfg)
+    data = SyntheticEchoData(cfg, seed=0)
+    batch = data.train_batch()
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
+                               jbatch)
+    step = jax.jit(make_train_step(cfg, models, optimizers))
+
+    _, metrics_single = step(state, jbatch)
+
+    mesh = create_mesh(8)
+    state_r = replicate(mesh, state)
+    sharded = shard_batch(mesh, batch)
+    with mesh:
+        _, metrics_mesh = step(state_r, sharded)
+
+    for k in ("seg_loss", "dis_loss", "node_loss", "mat_loss_aff",
+              "mat_loss_qu", "loss_adv_p2", "loss_adv_p5",
+              "temporal_graph_loss", "cyc_loss", "total_loss"):
+        np.testing.assert_allclose(
+            float(metrics_single[k]), float(metrics_mesh[k]), rtol=1e-4,
+            err_msg=k)
+
+
 def test_sharded_video_inference():
     """Frame-axis sharding over the 8-device mesh (long-video path)."""
     from graphecho_tpu.parallel.video_infer import make_sharded_video_infer
@@ -108,6 +152,17 @@ def test_dense_knn_chunked_matches_direct():
     chunked = dense_knn(x, k=4, n_part=16)
     np.testing.assert_array_equal(np.sort(np.asarray(direct), -1),
                                   np.sort(np.asarray(chunked), -1))
+
+    # the relative_pos bias must be applied per chunk on the big-N path
+    # (`/root/reference/models/vig.py:297-298`; VERDICT r1 item 4)
+    rel = jnp.asarray(rng.randn(1, 50, 50).astype(np.float32) * 10)
+    direct_rp = dense_knn(x, k=4, relative_pos=rel)
+    chunked_rp = dense_knn(x, k=4, relative_pos=rel, n_part=16)
+    np.testing.assert_array_equal(np.sort(np.asarray(direct_rp), -1),
+                                  np.sort(np.asarray(chunked_rp), -1))
+    # and the bias actually changes the graph (guards against a no-op)
+    assert not np.array_equal(np.sort(np.asarray(direct), -1),
+                              np.sort(np.asarray(direct_rp), -1))
 
 
 def test_predictor_roundtrip(tmp_path):
