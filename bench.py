@@ -5,12 +5,17 @@ The measured path is the reference's batched video validation
 FPN forward → sigmoid > 0.5 → binary masks, at the CAMUS/EchoNet resolution
 (112², ResNet50-quirk backbone — `train_camus_echo.py:61,96`).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is value / (5 x RTX3090-estimate): BASELINE.json's north star is
->=5x an RTX 3090 on this path; the repo publishes no number, so we use a
-measured-elsewhere estimate of ~900 fps for a B=64 112² FPN-ResNet50 fp16
-forward on a 3090 (documented in BENCHMARKS.md) until the reference number is
-recorded by the driver.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Ratio semantics (the reference repo publishes NO numbers; BASELINE.json's
+north star is >=5x an RTX 3090 on this path):
+  * `vs_baseline`      = fps / (5 x RTX3090_FPS_ESTIMATE) — progress against
+    the >=5x TARGET; 1.0 means the north star is met.
+  * `vs_3090_estimate` = fps / RTX3090_FPS_ESTIMATE — the raw chip-vs-GPU
+    ratio, so the two anchors can't be conflated (VERDICT r1 item 7).
+The 3090 anchor is a measured-elsewhere estimate (~900 fps for a B=64 112²
+FPN-ResNet50 fp16 forward; derivation in BENCHMARKS.md) — no 3090 exists in
+this environment to measure the reference directly.
 """
 
 from __future__ import annotations
@@ -94,6 +99,8 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_TARGET, 3),
+        "vs_3090_estimate": round(fps / RTX3090_FPS_ESTIMATE, 3),
+        "baseline_definition": "target = 5 x RTX3090 estimate (900 fps)",
     }))
 
 
