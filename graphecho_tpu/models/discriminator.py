@@ -47,13 +47,19 @@ class Discriminator(nn.Module):
         return self.cls_logits(x)
 
     def __call__(self, feature: Tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
-        """feature: (source NHWC, target NHWC). Returns scalar adversarial loss."""
+        """feature: (source NHWC, target NHWC). Returns scalar adversarial loss.
+
+        Both domains run through the tower as ONE batched apply (conv and
+        GroupNorm are per-sample, so the math is identical to two passes —
+        the reference's separate calls, `fpnseg.py:496-511` — at half the
+        kernel launches)."""
         features_s, features_t = feature
         if self.grl_applied_domain == "both":
             features_s = gradient_reversal(features_s, self.grad_reverse_lambda)
         features_t = gradient_reversal(features_t, self.grad_reverse_lambda)
-        x_s = self._logits(features_s)
-        x_t = self._logits(features_t)
+        bs = features_s.shape[0]
+        x = self._logits(jnp.concatenate([features_s, features_t], axis=0))
+        x_s, x_t = x[:bs], x[bs:]
         loss_s = bce_with_logits(x_s, jnp.ones_like(x_s))
         loss_t = bce_with_logits(x_t, jnp.zeros_like(x_t))
         return loss_s + loss_t

@@ -51,3 +51,22 @@ def test_discriminator_loss_and_grad():
 
     grads = jax.grad(lambda feats: dis.apply(variables, feats))((f_s, f_t))
     assert np.asarray(grads[0]).std() > 0  # gradient flows through GRL
+
+
+def test_discriminator_fused_apply_matches_two_pass():
+    """The batched source+target tower apply must equal two separate passes
+    (conv/GroupNorm are per-sample), including unequal batch sizes."""
+    from graphecho_tpu.train.losses import bce_with_logits
+
+    dis = Discriminator(grad_reverse_lambda=0.02)
+    rng = np.random.RandomState(3)
+    f_s = jnp.asarray(rng.rand(3, 8, 8, 256), jnp.float32)
+    f_t = jnp.asarray(rng.rand(5, 8, 8, 256), jnp.float32)
+    variables = dis.init(jax.random.PRNGKey(0), (f_s, f_t))
+    fused = float(dis.apply(variables, (f_s, f_t)))
+
+    logits_s = dis.apply(variables, f_s, method=lambda m, x: m._logits(x))
+    logits_t = dis.apply(variables, f_t, method=lambda m, x: m._logits(x))
+    want = float(bce_with_logits(logits_s, jnp.ones_like(logits_s))
+                 + bce_with_logits(logits_t, jnp.zeros_like(logits_t)))
+    np.testing.assert_allclose(fused, want, rtol=1e-6)
