@@ -152,7 +152,10 @@ class TGCNConfig:
     transport_method: str = "node_discriminate"  # |'sinkhorn_distance'
     queue_size: int = 150  # K (`TGCN.py:194`)
     queue_momentum: float = 0.99
-    pool_ratios: Tuple[int, ...] = (8, 4, 2, 1)  # r (`train_camus_echo.py:278`)
+    # r (`train_camus_echo.py:278`). Used for state-init shape hints; the
+    # module itself pools ADAPTIVELY onto clip_shape's grid (equal to fixed
+    # r-pooling when the level sizes divide, usable when they don't).
+    pool_ratios: Tuple[int, ...] = (8, 4, 2, 1)
     source_class: int = 100
     target_class: int = 100
 

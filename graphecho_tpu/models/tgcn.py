@@ -34,6 +34,7 @@ from graphecho_tpu.models.attention import MultiHeadAttention
 from graphecho_tpu.models.vig import MRConv, _act
 from graphecho_tpu.ops.grl import gradient_reversal
 from graphecho_tpu.ops.knn import dilated_knn_graph
+from graphecho_tpu.ops.resize import adaptive_avg_pool2d
 from graphecho_tpu.ops.sinkhorn import sinkhorn_distance
 from graphecho_tpu.train.losses import bce_with_logits, cross_entropy
 
@@ -88,14 +89,17 @@ class TGCN(nn.Module):
     def _frame_nodes(self, frame_feats: Sequence[jnp.ndarray], t_idx: int,
                      train: bool) -> jnp.ndarray:
         """Pool pyramid levels of one frame to the node grid, project, add
-        positional embedding (`TGCN.py:62-72`). Returns (B, H*W, C)."""
+        positional embedding (`TGCN.py:62-72`). Returns (B, H*W, C).
+
+        Pooling is adaptive to the (gh, gw) grid (MXU matmul pooling,
+        `ops/resize.py`). When each level divides the grid this equals the
+        reference's fixed `avg_pool2d(r)` exactly; otherwise — e.g. the CAMUS
+        112² config, whose 28/14/7/4 pyramid cannot close an 8x8 grid with
+        fixed ratios and crashes the reference (`TGCN.py:63-72`) — it still
+        produces the grid, making the temporal branch usable there."""
         cfg = self.cfg
         _, gh, gw = cfg.clip_shape
-        pooled = []
-        for x, r in zip(frame_feats, cfg.pool_ratios):
-            if r > 1:
-                x = nn.avg_pool(x, (r, r), (r, r))
-            pooled.append(x)
+        pooled = [adaptive_avg_pool2d(x, (gh, gw)) for x in frame_feats]
         x = jnp.concatenate(pooled, axis=-1)  # (B, gh, gw, 4C)
         x = self.mlp_conv1(x)
         x = self.mlp_bn(x, use_running_average=not train)

@@ -92,3 +92,38 @@ def upsample_add(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     add — the FPN top-down merge (`fpnseg.py:371-388`)."""
     _, h, w, _ = y.shape
     return resize_bilinear_align_corners(x, h, w) + y
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(in, out) averaging matrix with torch `adaptive_avg_pool2d` bucket
+    semantics: bucket g covers [floor(g*in/out), ceil((g+1)*in/out))."""
+    m = np.zeros((in_size, out_size), np.float32)
+    for g in range(out_size):
+        start = (g * in_size) // out_size
+        end = -((-(g + 1) * in_size) // out_size)  # ceil
+        m[start:end, g] = 1.0 / (end - start)
+    return m
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch `F.adaptive_avg_pool2d` on NHWC tensors, as two MXU matmuls
+    against compile-time-constant bucket matrices (pooled = P_h^T X P_w).
+
+    Exactly equals fixed-window `avg_pool(r, r)` whenever the input divides
+    the output (equal buckets), and degrades gracefully otherwise — including
+    output LARGER than input (buckets repeat rows, torch semantics). Gathers
+    or segment-sums here would shuffle the TPU lane dimension; the matmul
+    formulation stays on the MXU."""
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if h == oh and w == ow:
+        return x
+    precision = jax.lax.Precision.HIGHEST
+    if h != oh:
+        ph = jnp.asarray(_adaptive_pool_matrix(h, oh), x.dtype)
+        x = jnp.einsum("hg,bhwc->bgwc", ph, x, precision=precision)
+    if w != ow:
+        pw = jnp.asarray(_adaptive_pool_matrix(w, ow), x.dtype)
+        x = jnp.einsum("wk,bgwc->bgkc", pw, x, precision=precision)
+    return x

@@ -191,3 +191,57 @@ def test_pallas_knn_interpret_matches_xla():
                       relative_pos=rel)
     np.testing.assert_array_equal(np.sort(np.asarray(got3), -1),
                                   np.sort(np.asarray(want3), -1))
+
+
+def test_adaptive_avg_pool2d_matches_torch():
+    import torch
+    import torch.nn.functional as TF
+
+    from graphecho_tpu.ops.resize import adaptive_avg_pool2d
+
+    rng = np.random.RandomState(11)
+    for (h, w), (oh, ow) in [((28, 28), (8, 8)), ((7, 7), (3, 3)),
+                             ((4, 4), (8, 8)), ((16, 16), (4, 4)),
+                             ((14, 7), (8, 8))]:
+        x = rng.rand(2, h, w, 5).astype(np.float32)
+        got = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), (oh, ow)))
+        want = TF.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (oh, ow)
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{h}x{w}")
+    # divisible case == fixed-window avg_pool (the reference's pooling)
+    from flax.linen import avg_pool
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 5).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(adaptive_avg_pool2d(x, (4, 4))),
+        np.asarray(avg_pool(x, (4, 4), (4, 4))), atol=1e-6)
+
+
+def test_tgcn_camus_112_geometry():
+    """The CAMUS 112² pyramid (28/14/7/4) cannot close an 8x8 grid with fixed
+    r-pooling (the reference crashes); adaptive pooling makes the temporal
+    branch usable there."""
+    from graphecho_tpu.config import TGCNConfig
+    from graphecho_tpu.models.tgcn import TGCN
+
+    cfg = TGCNConfig(input_dim=32, hidden_dim=32, clip_shape=(2, 8, 8),
+                     knn_k=4, queue_size=6, cluster_method="momentum_queue")
+    rng = np.random.RandomState(12)
+    clips = [jnp.asarray(rng.rand(2, 2, s, s, 32).astype(np.float32))
+             for s in (28, 14, 7, 4)]
+    nodes = jnp.asarray(rng.rand(10, 32).astype(np.float32))
+    valid = jnp.ones(10, bool)
+    queues = (jnp.asarray(rng.rand(32, 6).astype(np.float32)),
+              jnp.asarray(rng.rand(32, 6).astype(np.float32)))
+    idx = (jnp.asarray([0]), jnp.asarray([1]))
+    tgcn = TGCN(cfg)
+    variables = tgcn.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          clips, nodes, valid, nodes, valid, queues, idx)
+    (losses, new_queues), _ = tgcn.apply(
+        variables, clips, nodes, valid, nodes, valid, queues, idx,
+        train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
