@@ -73,6 +73,13 @@ class FPN(nn.Module):
         """x: (B, H, W, C_in). Returns (logits (B,H,W,num_classes),
         [p2, p3, p4, p5] pre-smooth NHWC features)."""
         feats = self.backbone(x, train=train)
+        return self.head(feats)
+
+    def head(self, feats: List[Any]) -> Tuple[Any, List[Any]]:
+        """Pyramid + semantic head on backbone features [c1..c5] — exposed so
+        alternative backbone executors (e.g. the int8 PTQ path in
+        `graphecho_tpu.quant`) can reuse the exact float head via
+        `fpn.apply(vars, feats, method=FPN.head)`."""
         _, c2, c3, c4, c5 = feats
 
         p5 = self.toplayer(c5)

@@ -25,7 +25,13 @@ from graphecho_tpu.train.steps import build_models
 
 class Predictor:
     def __init__(self, cfg: ExperimentConfig, variables, batch_size: int = 256,
-                 mesh=None, threshold: float = 0.5):
+                 mesh=None, threshold: float = 0.5, quantize: bool = False,
+                 calib_batches=None):
+        """quantize=True runs the backbone as int8 PTQ (weights 4x smaller;
+        see `graphecho_tpu.quant` — measured ~parity with bf16 speed on v5e
+        for the FPN shapes, provided for memory-constrained serving).
+        `calib_batches`: iterable of (B,H,W,1) arrays; defaults to zeros+ones
+        probes at the model resolution."""
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            compute_dtype="bfloat16"))
@@ -38,10 +44,27 @@ class Predictor:
         h, w = cfg.data.img_crop
         self._hw = (h, w)
 
-        @jax.jit
-        def _infer(variables, x):
-            logits, _ = self.fpn.apply(variables, x, train=False)
-            return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
+        if quantize:
+            from graphecho_tpu.models.fpn import FPN
+            from graphecho_tpu.quant import quantize_fpn_backbone
+
+            if calib_batches is None:
+                calib_batches = [np.zeros((4, h, w, 1), np.float32),
+                                 np.ones((4, h, w, 1), np.float32)]
+            qb = quantize_fpn_backbone(cfg.model.backbone, variables,
+                                       calib_batches)
+            head_vars = {"params": variables["params"]}
+
+            @jax.jit
+            def _infer(_variables, x):
+                feats = [f.astype(jnp.bfloat16) for f in qb(x)]
+                logits, _ = self.fpn.apply(head_vars, feats, method=FPN.head)
+                return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
+        else:
+            @jax.jit
+            def _infer(variables, x):
+                logits, _ = self.fpn.apply(variables, x, train=False)
+                return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
 
         self._infer = _infer
         self._video = None
