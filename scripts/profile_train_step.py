@@ -1,0 +1,119 @@
+"""Profile the full UDA training step on the real TPU chip.
+
+Times the jitted cardiac-config train step (graph matching + 4 discriminators)
+and ablations that isolate where the milliseconds go:
+
+  * full            — the shipped step
+  * no_spectral     — seed update replaced by plain masked mean (isolates the
+                      vmapped eigh in ops/spectral.py)
+  * sinkhorn_5      — 5 Sinkhorn iterations instead of 20
+  * no_sampling_bwd — stop_gradient on sampled nodes (isolates the FCOS
+                      sampling backward)
+
+Timing follows BENCHMARKS.md "measurement methodology": chained steps (state
+feeds forward) + a tail host fetch; block_until_ready alone under-reports on
+the axon tunnel.
+
+Usage:
+  env PYTHONPATH=/root/.axon_site:/root/repo \
+      JAX_COMPILATION_CACHE_DIR=/root/.jax_tpu_cache \
+      python scripts/profile_train_step.py [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+
+def _cfg(bf16: bool):
+    from graphecho_tpu.config import cardiac_uda_config
+
+    cfg = cardiac_uda_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=4, target_batch_mult=1),
+        model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16" if bf16 else "float32"),
+    )
+    return cfg
+
+
+def _setup(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from graphecho_tpu.data.synthetic import SyntheticEchoData
+    from graphecho_tpu.train.state import Optimizers, create_train_state
+    from graphecho_tpu.train.steps import build_models, make_train_step
+
+    models = build_models(cfg)
+    optimizers = Optimizers(cfg)
+    data = SyntheticEchoData(cfg, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in data.train_batch().items()}
+    state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
+                               batch)
+    step = jax.jit(make_train_step(cfg, models, optimizers))
+    return step, state, batch
+
+
+def time_step(step, state, batch, iters=30, trials=5):
+    import numpy as np
+
+    new_state, metrics = step(state, batch)  # compile + warmup
+    np.asarray(metrics["total_loss"])
+
+    times = []
+    for _ in range(trials):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, metrics = step(s, batch)
+        float(metrics["total_loss"])  # chain-tail fetch
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2] * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
+
+    cfg = _cfg(args.bf16)
+    variants = {}
+
+    step, state, batch = _setup(cfg)
+    variants["full"] = time_step(step, state, batch, args.iters)
+    print(f"full: {variants['full']:.1f} ms", flush=True)
+
+    cfg2 = dataclasses.replace(
+        cfg, gmodule=dataclasses.replace(cfg.gmodule,
+                                         with_cluster_update=False))
+    step2, state2, batch2 = _setup(cfg2)
+    variants["no_spectral"] = time_step(step2, state2, batch2, args.iters)
+    print(f"no_spectral: {variants['no_spectral']:.1f} ms", flush=True)
+
+    cfg3 = dataclasses.replace(
+        cfg, gmodule=dataclasses.replace(cfg.gmodule, sinkhorn_iters=5))
+    step3, state3, batch3 = _setup(cfg3)
+    variants["sinkhorn_5"] = time_step(step3, state3, batch3, args.iters)
+    print(f"sinkhorn_5: {variants['sinkhorn_5']:.1f} ms", flush=True)
+
+    for k, v in variants.items():
+        delta = variants["full"] - v
+        print(f"{k:>14}: {v:6.1f} ms  (saves {delta:+5.1f} ms vs full)")
+
+
+if __name__ == "__main__":
+    main()
