@@ -114,6 +114,10 @@ class GModuleConfig:
     lambda_dis: float = 0.02
     sinkhorn_iters: int = 20  # (`graph_matching.py:575`)
     seed_cluster_min_nodes: int = 20  # k in update_seed (`:534`)
+    # Fiedler solver for the on-device seed clustering: 'lanczos' (deflated
+    # 24-step Lanczos, ~6x faster than TPU eigh at 113x113; the update runs
+    # under stop_gradient so a non-differentiable solve is fine) | 'eigh'.
+    spectral_solver: str = "lanczos"
     # Static node budget per (class, domain) after class-grouped regrouping.
     # The reference concatenates variable-length per-class node lists
     # (`:381-483`); we use fixed per-class slots with validity masks.

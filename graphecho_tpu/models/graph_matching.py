@@ -282,7 +282,8 @@ class GModule(nn.Module):
             f = valid_c.astype(nodes_c.dtype)[:, None]
             plain_mean = jnp.sum(nodes_c * f, axis=0) / jnp.maximum(jnp.sum(f), 1.0)
             if cfg.with_cluster_update:
-                cl_mean, ok = seed_consistent_mean(seed_c, nodes_c, valid_c)
+                cl_mean, ok = seed_consistent_mean(seed_c, nodes_c, valid_c,
+                                                   solver=cfg.spectral_solver)
                 use_cluster = (cnt > cfg.seed_cluster_min_nodes) & ok
                 bs = jnp.where(use_cluster, cl_mean, plain_mean)
             else:

@@ -9,13 +9,23 @@ pipeline fully on-device with static shapes:
   1. kNN connectivity graph (k = n_valid // 2) from pairwise Euclidean
      distances, symmetrized 0.5*(A + A^T) like sklearn;
   2. symmetric normalized Laplacian;
-  3. Fiedler vector via `jnp.linalg.eigh` (matrices here are <= ~130x130);
+  3. Fiedler vector — either a deflated Lanczos solve (`solver="lanczos"`,
+     the default: the seed update runs under stop_gradient, so a
+     non-differentiable iterative solver is fine and ~6x faster than TPU
+     eigh at these sizes) or full `jnp.linalg.eigh` (`solver="eigh"`);
   4. 1-D k-means (2 clusters) on the Fiedler embedding, Lloyd iterations
      under `lax.fori_loop`.
 
+The Lanczos path exploits that the symmetric normalized Laplacian's null
+vector is known analytically (D^{1/2}·1 on the valid subgraph): the Krylov
+space is kept orthogonal to it, so the SMALLEST Ritz pair approximates the
+Fiedler pair directly. Exhausted Krylov directions (beta -> 0, e.g. small
+valid blocks) are pushed to the top of the Ritz spectrum so they are never
+selected.
+
 Padded (invalid) rows are isolated from the graph and pushed to high
 eigenvalues with a diagonal penalty so they never enter the Fiedler vector.
-Numerics differ from sklearn (LOBPCG vs full eigh, k-means init) but the
+Numerics differ from sklearn (LOBPCG vs Lanczos/eigh, k-means init) but the
 clustering semantics — split the class's nodes in two, keep the subcluster
 containing the seed — are preserved.
 """
@@ -34,14 +44,66 @@ def _pairwise_sq_dists(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d, 0.0)
 
 
+def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
+                     m: int = 24) -> jnp.ndarray:
+    """Fiedler vector of a symmetric normalized Laplacian via m-step Lanczos
+    with deflation of the analytic null vector v0 = D^{1/2}·1 (L_sym·v0 = 0
+    exactly wherever deg > 0). Returns (N,)."""
+    n = lap.shape[0]
+    v0 = jnp.sqrt(jnp.maximum(deg, 0.0)) * fvalid
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
+
+    # deterministic hash-noise start vector confined to the valid block
+    # (invalid rows are decoupled, diag ~11 — keep Krylov out of them)
+    i = jnp.arange(n, dtype=lap.dtype)
+    x = jnp.sin(i * 12.9898 + 78.233) * 43758.5453
+    x = (x - jnp.floor(x) - 0.5) * fvalid
+    x = x - jnp.dot(v0, x) * v0
+
+    big_ritz = jnp.asarray(1e3, lap.dtype)  # park dead slots above the spectrum
+
+    def body(j, carry):
+        q_mat, alphas, betas, q, q_prev, beta_prev, alive = carry
+        q_mat = q_mat.at[j].set(q)
+        w = lap @ q
+        alpha = jnp.dot(q, w)
+        w = w - alpha * q - beta_prev * q_prev
+        # full reorthogonalization: against v0 and all previous q's
+        w = w - jnp.dot(v0, w) * v0
+        w = w - q_mat.T @ (q_mat @ w)
+        beta = jnp.linalg.norm(w)
+        next_alive = alive & (beta > 1e-6)
+        alphas = alphas.at[j].set(jnp.where(alive, alpha, big_ritz))
+        betas = betas.at[j].set(jnp.where(next_alive, beta, 0.0))
+        q_next = jnp.where(next_alive, w / jnp.maximum(beta, 1e-12),
+                           jnp.zeros_like(w))
+        return (q_mat, alphas, betas, q_next, q, jnp.where(next_alive, beta, 0.0),
+                next_alive)
+
+    norm0 = jnp.linalg.norm(x)
+    q1 = jnp.where(norm0 > 1e-12, x / jnp.maximum(norm0, 1e-12),
+                   jnp.zeros_like(x))
+    carry = (jnp.zeros((m, n), lap.dtype), jnp.full((m,), big_ritz, lap.dtype),
+             jnp.zeros((m,), lap.dtype), q1, jnp.zeros_like(q1),
+             jnp.asarray(0.0, lap.dtype), norm0 > 1e-12)
+    q_mat, alphas, betas, *_ = jax.lax.fori_loop(0, m, body, carry)
+
+    # Ritz problem on the tridiagonal (m x m — cheap even as dense eigh)
+    t = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
+    _, s = jnp.linalg.eigh(t)
+    return q_mat.T @ s[:, 0]  # smallest Ritz vector = Fiedler (v0 deflated)
+
+
 def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
-                         kmeans_iters: int = 10) -> jnp.ndarray:
+                         kmeans_iters: int = 10,
+                         solver: str = "lanczos") -> jnp.ndarray:
     """Split `points` (N, C) into 2 clusters; returns (N,) int32 in {0, 1}.
 
     `valid` (N,) masks real rows; invalid rows get cluster -1. k for the kNN
     graph is n_valid // 2, matching the reference's `n_neighbors=len(bs)//2`.
+    `solver`: 'lanczos' (fast, default) | 'eigh' (exact dense solve).
     """
-    points = points.astype(jnp.float32)  # eigh/k-means need full precision
+    points = points.astype(jnp.float32)  # eigensolve/k-means need full precision
     n = points.shape[0]
     fvalid = valid.astype(points.dtype)
     n_valid = jnp.sum(fvalid).astype(jnp.int32)
@@ -66,8 +128,12 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     # push invalid rows out of the low spectrum
     lap = lap + jnp.diag(10.0 * (1.0 - fvalid))
 
-    _, vecs = jnp.linalg.eigh(lap)
-    fiedler = vecs[:, 1]  # second-smallest eigenvector
+    if solver == "lanczos":
+        fiedler = _fiedler_lanczos(lap, deg, fvalid,
+                                   m=min(24, max(n - 1, 1)))
+    else:
+        _, vecs = jnp.linalg.eigh(lap)
+        fiedler = vecs[:, 1]  # second-smallest eigenvector
 
     # 1-D 2-means on the Fiedler values (valid entries only)
     vmin = jnp.min(jnp.where(valid, fiedler, jnp.inf))
@@ -90,7 +156,8 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
 
 
 def seed_consistent_mean(seed: jnp.ndarray, nodes: jnp.ndarray,
-                         valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         valid: jnp.ndarray, solver: str = "lanczos"
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster [seed; nodes] in two; mean of the nodes landing in the seed's
     cluster (reference `update_seed`, `graph_matching.py:539-545`).
 
@@ -101,7 +168,7 @@ def seed_consistent_mean(seed: jnp.ndarray, nodes: jnp.ndarray,
     nodes = nodes.astype(jnp.float32)
     pts = jnp.concatenate([seed[None, :], nodes], axis=0)
     val = jnp.concatenate([jnp.ones((1,), bool), valid], axis=0)
-    assign = spectral_bipartition(pts, val)
+    assign = spectral_bipartition(pts, val, solver=solver)
     keep = (assign[1:] == assign[0]) & valid
     cnt = jnp.sum(keep.astype(nodes.dtype))
     mean = jnp.sum(jnp.where(keep[:, None], nodes, 0.0), axis=0) / jnp.maximum(cnt, 1.0)

@@ -168,6 +168,28 @@ def test_spectral_bipartition_separates_clusters():
     assert (assign[22:] == -1).all()
 
 
+def test_spectral_lanczos_matches_eigh():
+    """The deflated-Lanczos Fiedler solver (the fast default) must produce
+    the same bipartition as the exact dense eigh solve, up to label swap."""
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n_valid = rng.randint(12, 90)
+        half = n_valid // 2
+        pts = np.zeros((96, 16), np.float32)
+        pts[:half] = rng.randn(half, 16) * 0.3
+        pts[half:n_valid] = rng.randn(n_valid - half, 16) * 0.3 + 3.0
+        pts[n_valid:] = rng.randn(96 - n_valid, 16) * 10
+        valid = jnp.asarray(np.arange(96) < n_valid)
+        a_l = np.asarray(spectral_bipartition(jnp.asarray(pts), valid,
+                                              solver="lanczos"))
+        a_e = np.asarray(spectral_bipartition(jnp.asarray(pts), valid,
+                                              solver="eigh"))
+        v = np.asarray(valid)
+        m = (a_l[v] == a_e[v]).mean()
+        assert max(m, 1 - m) > 0.95, (trial, m)
+        assert (a_l[~v] == -1).all()
+
+
 # ----------------------------------------------------------------- GModule
 def _toy_nodeset(rng, n, c, num_classes, n_valid):
     pts = rng.randn(n, c).astype(np.float32)
