@@ -107,6 +107,12 @@ class GModuleConfig:
     with_global_graph: bool = False  # union-attention cross-graph (`:131,491-498`)
     node_dis_place: str = "feat"  # 'feat' | 'intra' | 'inter'
     head_in_cfg: str = "LN"  # 'LN' (shipped) | 'GN'/'IN'/'BN' (GRAPHHead convs)
+    # Weight the node CE by sampled confidences (`graph_matching.py:519-529`).
+    # NOTE: in the shipped 'LN' configuration both domains sample through the
+    # box/FCOS branch whose weights are all-ones (`:1013`), so this knob is a
+    # no-op there — exactly as in the reference, where score weights only
+    # become non-trivial via the dead act-map sampler branch (`:1016-1065`).
+    # The mechanism is implemented and tested with injected weights.
     with_score_weight: bool = False
     weight_matching: float = 0.1
     weight_nodes: float = 1.0

@@ -87,4 +87,33 @@ def cycled(loader: DataLoader) -> Iterator[Any]:
     """Endless iterator (the reference re-creates target iterators per epoch,
     `train_camus_echo.py:192-201`; cycling is equivalent and simpler)."""
     while True:
-        yield from loader
+        produced = False
+        for item in loader:
+            produced = True
+            yield item
+        if not produced:
+            raise ValueError(
+                "cycled(): loader produced no batches (dataset smaller than "
+                "batch_size with drop_last=True, or empty dataset)")
+
+
+def rebatched(it: Iterator[Any], n: int) -> Iterator[Any]:
+    """Re-chunk an endless iterator of collated tuple-batches into batches of
+    EXACTLY n rows (leading dim), buffering rows across incoming batches.
+
+    Tail batches from `drop_last=False` loaders otherwise change the leading
+    dim of the jitted train step's inputs, forcing a full XLA retrace per odd
+    size (minutes-scale on this target — CLAUDE.md "static shapes"). Feeding
+    through this adapter keeps every step batch the same shape without
+    dropping data; upstream must be `cycled(...)` so the stream never ends.
+    """
+    buf = None
+    while True:
+        batch = next(it)
+        if not isinstance(batch, tuple):
+            batch = (batch,)
+        buf = batch if buf is None else tuple(
+            np.concatenate([a, b], axis=0) for a, b in zip(buf, batch))
+        while buf[0].shape[0] >= n:
+            yield tuple(a[:n] for a in buf)
+            buf = tuple(a[n:] for a in buf)

@@ -62,11 +62,15 @@ def dense_knn(x: jnp.ndarray, y: Optional[jnp.ndarray] = None, k: int = 16,
 
         if relative_pos is not None:
             # per-chunk bias slice, like the reference's
-            # `relative_pos[:, start:end]` (`vig.py:297-298`)
-            rp = jnp.broadcast_to(relative_pos, (b, n, m))
+            # `relative_pos[:, start:end]` (`vig.py:297-298`). The bias keeps
+            # its own leading dim (usually 1) — broadcasting it to the batch
+            # here would materialize b*(N,M) floats, defeating the chunked
+            # path's memory purpose; the add inside the chunk broadcasts.
+            rp = relative_pos[None] if relative_pos.ndim == 2 else relative_pos
+            rb = rp.shape[0]
             if pad:
                 rp = jnp.pad(rp, ((0, 0), (0, pad), (0, 0)))
-            rp_chunks = jnp.swapaxes(rp.reshape(b, -1, n_part, m), 0, 1)
+            rp_chunks = jnp.swapaxes(rp.reshape(rb, -1, n_part, m), 0, 1)
 
             def one_chunk_rp(args):
                 q, r = args

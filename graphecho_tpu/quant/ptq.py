@@ -74,7 +74,11 @@ def _qconv(x8: jnp.ndarray, x_scale: float, wq: jnp.ndarray,
 
 @dataclasses.dataclass
 class _QConv:
-    """One folded+quantized conv layer."""
+    """One folded+quantized conv layer. Arrays live here between calls, but
+    jitted forwards read them from an explicit qparams/fparams pytree ARGUMENT
+    — closing over them would bake ~25M weights into the HLO as constants,
+    the compile-stall mode this host's remote compiler is known for
+    (CLAUDE.md: "never capture module-level jnp arrays as jit constants")."""
 
     wq: jnp.ndarray  # int8 HWIO
     w_scale: jnp.ndarray  # (O,) f32
@@ -83,15 +87,6 @@ class _QConv:
     strides: Tuple[int, int] = (1, 1)
     padding: Any = "SAME"
     in_scale: float = 0.0  # activation scale, set by calibration
-
-    def float_apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = jax.lax.conv_general_dilated(
-            x, self.w_float, self.strides, self.padding, dimension_numbers=_DN)
-        return y + self.bias
-
-    def int8_apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _qconv(_q(x, self.in_scale), self.in_scale, self.wq,
-                      self.w_scale, self.bias, self.strides, self.padding)
 
 
 def _fold_quant(params: Dict, stats: Dict, conv_name: str, bn_name: str,
@@ -104,8 +99,10 @@ def _fold_quant(params: Dict, stats: Dict, conv_name: str, bn_name: str,
     bs = stats[conv_name]["BatchNorm_0"] if bn_name is None else stats[bn_name]
     w, b = fold_bn(kernel, bias, bp["scale"], bp["bias"], bs["mean"], bs["var"])
     wq, ws = _quant_weights(w)
-    return _QConv(wq=wq, w_scale=ws, bias=b, w_float=w, strides=strides,
-                  padding=padding)
+    # keep the float mirror on HOST (numpy): device memory then holds only the
+    # int8 kernels — the point of the PTQ path for memory-constrained serving
+    return _QConv(wq=wq, w_scale=ws, bias=b, w_float=np.asarray(w),
+                  strides=strides, padding=padding)
 
 
 class QuantizedBackbone:
@@ -122,19 +119,47 @@ class QuantizedBackbone:
         self.layers = layers
         self.resnet_layout = resnet_layout
 
+    # ------------------------------------------------------------- pytrees
+    def qparams(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """int8 inference pytree — pass this as an ARGUMENT to jitted infer
+        functions (never close over the backbone in a jit)."""
+        return {name: {"wq": l.wq, "w_scale": l.w_scale, "bias": l.bias,
+                       "in_scale": jnp.asarray(l.in_scale, jnp.float32)}
+                for name, l in self.layers.items()}
+
+    def fparams(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """BN-folded float-mirror pytree (calibration / numerics reference)."""
+        return {name: {"w": l.w_float, "bias": l.bias}
+                for name, l in self.layers.items()}
+
     # ------------------------------------------------------------- forward
     def _forward(self, x: jnp.ndarray, int8: bool,
-                 amax: Optional[Dict[str, jnp.ndarray]] = None
+                 amax: Optional[Dict[str, jnp.ndarray]] = None,
+                 params: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None
                  ) -> List[jnp.ndarray]:
         """Shared graph walk. With `amax` (calibration) records per-layer
-        input absmax; with int8=True uses each layer's frozen in_scale."""
+        input absmax; with int8=True uses each layer's frozen in_scale.
+        `params` supplies the layer arrays (qparams()/fparams()); omitted,
+        they are read off the layer objects (eager use only)."""
 
         def conv(name: str, t: jnp.ndarray) -> jnp.ndarray:
             lyr = self.layers[name]
+            p = params.get(name) if params is not None else None
             if amax is not None:
                 amax[name] = jnp.maximum(
                     amax.get(name, 0.0), jnp.max(jnp.abs(t)))
-            return lyr.int8_apply(t) if int8 else lyr.float_apply(t)
+            if int8:
+                in_scale = p["in_scale"] if p is not None else lyr.in_scale
+                wq = p["wq"] if p is not None else lyr.wq
+                w_scale = p["w_scale"] if p is not None else lyr.w_scale
+                bias = p["bias"] if p is not None else lyr.bias
+                return _qconv(_q(t, in_scale), in_scale, wq, w_scale, bias,
+                              lyr.strides, lyr.padding)
+            w = p["w"] if p is not None else lyr.w_float
+            bias = p["bias"] if p is not None else lyr.bias
+            y = jax.lax.conv_general_dilated(
+                t, w, lyr.strides, lyr.padding, dimension_numbers=_DN)
+            return y + bias
 
         relu = jax.nn.relu
         if self.backbone == "VGG16":
@@ -174,25 +199,30 @@ class QuantizedBackbone:
             feats.append(x)
         return feats
 
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        return self._forward(x, int8=True)
+    def __call__(self, x: jnp.ndarray,
+                 qparams: Optional[Dict] = None) -> List[jnp.ndarray]:
+        """int8 forward. Inside a jit, pass `qparams` (from `qparams()`) as a
+        traced argument so the weights are not baked into the program."""
+        return self._forward(x, int8=True, params=qparams)
 
-    def float_forward(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        return self._forward(x, int8=False)
+    def float_forward(self, x: jnp.ndarray,
+                      fparams: Optional[Dict] = None) -> List[jnp.ndarray]:
+        return self._forward(x, int8=False, params=fparams)
 
     # --------------------------------------------------------- calibration
     def calibrate(self, batches: Iterable[jnp.ndarray]) -> None:
         """Set per-layer activation scales from absmax over `batches`."""
         amax: Dict[str, float] = {}
 
-        def fwd_with_amax(x):
+        def fwd_with_amax(fp, x):
             a: Dict[str, jnp.ndarray] = {}
-            self._forward(x, int8=False, amax=a)
+            self._forward(x, int8=False, amax=a, params=fp)
             return a
 
         fwd_with_amax = jax.jit(fwd_with_amax)
+        fp = self.fparams()
         for b in batches:
-            a = fwd_with_amax(jnp.asarray(b))
+            a = fwd_with_amax(fp, jnp.asarray(b))
             for k, v in a.items():
                 prev = amax.get(k)
                 v = float(v)
@@ -248,16 +278,18 @@ def quantize_fpn_backbone(back_bone: str, variables: Dict,
 
 
 def make_quantized_infer(fpn, variables: Dict, qb: QuantizedBackbone
-                         ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+                         ) -> Callable[[Dict, Dict, jnp.ndarray], jnp.ndarray]:
     """Jittable end-to-end inference: int8 backbone -> float FPN head ->
     sigmoid>0.5 masks (the reference validation contract,
-    `train_cardiac_uda.py:376-426`)."""
+    `train_cardiac_uda.py:376-426`).
+
+    Returns `infer(head_vars, qparams, x)` — both parameter pytrees are
+    ARGUMENTS so jit does not const-fold ~25M weights into the HLO (the
+    known remote-compile stall mode on this target)."""
     from graphecho_tpu.models.fpn import FPN
 
-    head_vars = {"params": variables["params"]}
-
-    def infer(x):
-        feats = qb(x)
+    def infer(head_vars, qparams, x):
+        feats = qb(x, qparams=qparams)
         logits, _ = fpn.apply(head_vars, feats, method=FPN.head)
         return (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8)
 

@@ -30,7 +30,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from graphecho_tpu.config import ExperimentConfig, camus_echo_config, cardiac_uda_config
-from graphecho_tpu.data.loader import DataLoader, cycled
+from graphecho_tpu.data.loader import DataLoader, cycled, rebatched
 from graphecho_tpu.train.trainer import Trainer
 
 # reference temporal-clip loader batch size (`train_camus_echo.py:99-100`,
@@ -52,22 +52,21 @@ def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
         if t.graph_matching:
             batch["imgs_target"] = _f32(next(target_iter)[0])
         if t.temporal_graph:
+            # the clip iterators are `rebatched(...)` to exactly
+            # TEMPORAL_BATCH rows, so every step sees identical shapes (no
+            # jit retrace on tail batches) and the source/target halves match
             s_clip, s_masks, _, s_idx = next(temp_src_iter)
             t_clip, _, _, t_idx = next(temp_tgt_iter)
-            # the step needs equal source/target halves; trim short tail
-            # batches (the loaders keep tails so tiny datasets still train)
-            bc = min(len(s_clip), len(t_clip))
             # concat source+target clips on the batch dim, source first
             # (`train_camus_echo.py:246`)
-            batch["temp_imgs"] = np.concatenate(
-                [_f32(s_clip[:bc]), _f32(t_clip[:bc])], 0)
-            batch["temp_masks"] = _f32(s_masks[:bc])
+            batch["temp_imgs"] = np.concatenate([_f32(s_clip), _f32(t_clip)], 0)
+            batch["temp_masks"] = _f32(s_masks)
             k_src = min(cfg.tgcn.queue_size, cfg.tgcn.source_class)
             k_tgt = min(cfg.tgcn.queue_size, cfg.tgcn.target_class)
             batch["update_idx_source"] = (
-                np.asarray(s_idx)[:bc] % k_src).astype(np.int32)
+                np.asarray(s_idx) % k_src).astype(np.int32)
             batch["update_idx_target"] = (
-                np.asarray(t_idx)[:bc] % k_tgt).astype(np.int32)
+                np.asarray(t_idx) % k_tgt).astype(np.int32)
         if t.cyc_loss:
             clip = _f32(next(cyc_iter)[0])  # (1, T64, H, W, 1)
             batch["cyc_imgs"] = clip.reshape(-1, *clip.shape[2:])
@@ -97,10 +96,12 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                                 img_res=d.img_res, img_crop=d.img_crop)
     tgt_train = Echo(args.echonet_root, split="train", validation=False)
     src_loader = DataLoader(src_train, args.batch_size, num_workers=d.num_workers)
-    # reference target batch = bs * 21 (`train_camus_echo.py:165`)
+    # reference target batch = bs * 21 (`train_camus_echo.py:165`); rebatched
+    # to a constant leading dim so the jitted step never retraces
     tgt_loader = DataLoader(tgt_train, args.batch_size * d.target_batch_mult,
                             num_workers=d.num_workers, drop_last=False)
-    tgt_iter = cycled(tgt_loader)
+    tgt_iter = rebatched(cycled(tgt_loader),
+                         args.batch_size * d.target_batch_mult)
 
     temp_src_iter = temp_tgt_iter = None
     if cfg.train.temporal_graph:
@@ -112,10 +113,12 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                                    clip_length=d.clip_length)
         temp_tgt = Echo(args.echonet_root, split="train", validation=False,
                         single_frame=False, length=d.clip_length)
-        temp_src_iter = cycled(DataLoader(temp_src, TEMPORAL_BATCH,
-                                          num_workers=4, drop_last=False))
-        temp_tgt_iter = cycled(DataLoader(temp_tgt, TEMPORAL_BATCH,
-                                          num_workers=4, drop_last=False))
+        temp_src_iter = rebatched(cycled(DataLoader(
+            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            TEMPORAL_BATCH)
+        temp_tgt_iter = rebatched(cycled(DataLoader(
+            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            TEMPORAL_BATCH)
 
     val_camus = DataLoader(DataLoaderCamus(args.camus_root, stage="valid",
                                            img_res=d.img_res,
@@ -169,7 +172,7 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                             num_workers=d.num_workers)
     tgt_loader = DataLoader(tgt_train, args.batch_size,
                             num_workers=d.num_workers, drop_last=False)
-    tgt_iter = cycled(tgt_loader)
+    tgt_iter = rebatched(cycled(tgt_loader), args.batch_size)
 
     temp_src_iter = temp_tgt_iter = cyc_iter = None
     if cfg.train.temporal_graph:
@@ -187,10 +190,12 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                                         single_frame=False,
                                         clip_length=d.clip_length,
                                         total_length=d.total_length, **dims)
-        temp_src_iter = cycled(DataLoader(temp_src, TEMPORAL_BATCH,
-                                          num_workers=4, drop_last=False))
-        temp_tgt_iter = cycled(DataLoader(temp_tgt, TEMPORAL_BATCH,
-                                          num_workers=4, drop_last=False))
+        temp_src_iter = rebatched(cycled(DataLoader(
+            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            TEMPORAL_BATCH)
+        temp_tgt_iter = rebatched(cycled(DataLoader(
+            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            TEMPORAL_BATCH)
     if cfg.train.cyc_loss:
         # 64-frame clips, bs=1 (`train_cardiac_uda.py:179-182`). Deviation:
         # the reference loads a separate hardcoded `save_infos_reg.npy` from

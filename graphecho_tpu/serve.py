@@ -30,8 +30,15 @@ class Predictor:
         """quantize=True runs the backbone as int8 PTQ (weights 4x smaller;
         see `graphecho_tpu.quant` — measured ~parity with bf16 speed on v5e
         for the FPN shapes, provided for memory-constrained serving).
-        `calib_batches`: iterable of (B,H,W,1) arrays; defaults to zeros+ones
-        probes at the model resolution."""
+        `calib_batches`: iterable of (B,H,W,1) arrays used to calibrate int8
+        activation scales. Defaults to synthetic echo-like frames
+        (`data/synthetic.py`) — structured probes whose conv responses bound
+        activations far better than flat images; pass a sample of REAL frames
+        from the deployment distribution for best int8 accuracy.
+
+        quantize=True is incompatible with `mesh` (the sharded video path is
+        float-only): requesting both raises rather than silently serving
+        different numerics from predict() and predict_video()."""
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            compute_dtype="bfloat16"))
@@ -44,22 +51,38 @@ class Predictor:
         h, w = cfg.data.img_crop
         self._hw = (h, w)
 
+        if quantize and mesh is not None:
+            raise ValueError(
+                "Predictor(quantize=True, mesh=...): the mesh video path is "
+                "float-only; drop `mesh` for int8 serving or `quantize` for "
+                "sharded video inference")
+
         if quantize:
             from graphecho_tpu.models.fpn import FPN
             from graphecho_tpu.quant import quantize_fpn_backbone
 
             if calib_batches is None:
-                calib_batches = [np.zeros((4, h, w, 1), np.float32),
-                                 np.ones((4, h, w, 1), np.float32)]
+                from graphecho_tpu.data.synthetic import SyntheticEchoData
+
+                probe = SyntheticEchoData(cfg, seed=0, batch_size=8)
+                calib_batches = [probe.train_batch()["imgs_source"]
+                                 for _ in range(4)]
             qb = quantize_fpn_backbone(cfg.model.backbone, variables,
                                        calib_batches)
-            head_vars = {"params": variables["params"]}
+            self._qparams = qb.qparams()
 
+            # params/weights are jit ARGUMENTS — closing over the quantized
+            # backbone would const-fold every kernel into the HLO (the
+            # remote-compile stall mode CLAUDE.md warns about)
             @jax.jit
-            def _infer(_variables, x):
-                feats = [f.astype(jnp.bfloat16) for f in qb(x)]
+            def _infer_q(head_vars, qparams, x):
+                feats = [f.astype(jnp.bfloat16) for f in qb(x, qparams=qparams)]
                 logits, _ = self.fpn.apply(head_vars, feats, method=FPN.head)
                 return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
+
+            def _infer(variables, x):
+                return _infer_q({"params": variables["params"]},
+                                self._qparams, x)
         else:
             @jax.jit
             def _infer(variables, x):

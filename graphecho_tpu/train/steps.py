@@ -40,6 +40,14 @@ DIS_LEVELS = ("p2", "p3", "p4", "p5")
 def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
     import jax.numpy as jnp  # noqa: F811
 
+    if cfg.train.temporal_graph and not cfg.train.graph_matching:
+        # The temporal branch runs the GModule on the clip features; the
+        # reference has the same dependency (train_camus_echo.py:271-272 calls
+        # self.graph_model, which is only constructed under graph_matching,
+        # :69-74 — that config crashes there too). Fail loud and early.
+        raise ValueError(
+            "temporal_graph=True requires graph_matching=True (the temporal "
+            "branch reuses the graph-matching module)")
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model.compute_dtype]
     models: Dict[str, Any] = {
         "fpn": FPN(num_classes=cfg.model.num_classes,
@@ -145,6 +153,11 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
             # frames with enough mask area supervise; others use predictions
             # as pseudo-masks for node sampling (`:253-264`)
             area_ok = jnp.sum(tm_flat, axis=(1, 2, 3)) > 100
+            # quirk (bug-compatible): frames without enough GT mask use the
+            # RAW logits as pseudo-masks (`train_camus_echo.py:263`), and
+            # masks_to_boxes treats any nonzero as foreground (`mask != 0`,
+            # `graph_matching.py:726`) — logits are ~never exactly 0, so such
+            # frames degenerate to full-image boxes in the reference as well.
             src_masks = jnp.where(area_ok[:, None, None, None], tm_flat,
                                   preds_[:half, ..., : tm_flat.shape[-1]])
 

@@ -5,10 +5,11 @@ and ablations that isolate where the milliseconds go:
 
   * full            — the shipped step
   * no_spectral     — seed update replaced by plain masked mean (isolates the
-                      vmapped eigh in ops/spectral.py)
+                      spectral Fiedler solve in ops/spectral.py)
   * sinkhorn_5      — 5 Sinkhorn iterations instead of 20
-  * no_sampling_bwd — stop_gradient on sampled nodes (isolates the FCOS
-                      sampling backward)
+
+`--recipe camus_temporal` / `--recipe cardiac_full` time the paper's full
+branch sets (temporal graph / temporal + 64-frame cycle loss) instead.
 
 Timing follows BENCHMARKS.md "measurement methodology": chained steps (state
 feeds forward) + a tail host fetch; block_until_ready alone under-reports on
@@ -27,17 +28,34 @@ import dataclasses
 import time
 
 
-def _cfg(bf16: bool):
-    from graphecho_tpu.config import cardiac_uda_config
+def _cfg(bf16: bool, recipe: str = "cardiac"):
+    from graphecho_tpu.config import camus_echo_config, cardiac_uda_config
 
-    cfg = cardiac_uda_config()
-    cfg = dataclasses.replace(
-        cfg,
-        data=dataclasses.replace(cfg.data, batch_size=4, target_batch_mult=1),
-        model=dataclasses.replace(
-            cfg.model, compute_dtype="bfloat16" if bf16 else "float32"),
-    )
-    return cfg
+    if recipe == "camus_temporal":
+        # the paper's full CAMUS→EchoNet recipe: graph matching + temporal
+        # branch, 112², bs=8 source, temporal clips B=4 T=8
+        # (`train_camus_echo.py:168-177,244-278`)
+        cfg = camus_echo_config(graph_matching=True, discriminator=True,
+                                temporal_graph=True)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=8,
+                                          target_batch_mult=1))
+    elif recipe == "cardiac_full":
+        # CardiacUDA with every branch: + temporal graph + 64-frame cycle loss
+        # (`train_cardiac_uda.py:181,245-253`)
+        cfg = cardiac_uda_config(graph_matching=True, discriminator=True,
+                                 temporal_graph=True, cyc_loss=True)
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=4,
+                                          target_batch_mult=1))
+    else:
+        cfg = cardiac_uda_config()
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=4,
+                                          target_batch_mult=1))
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16" if bf16 else "float32"))
 
 
 def _setup(cfg):
@@ -79,6 +97,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--recipe", default="cardiac",
+                    choices=["cardiac", "camus_temporal", "cardiac_full"])
     args = ap.parse_args()
 
     import os
@@ -90,25 +110,26 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
 
-    cfg = _cfg(args.bf16)
+    cfg = _cfg(args.bf16, args.recipe)
     variants = {}
 
     step, state, batch = _setup(cfg)
     variants["full"] = time_step(step, state, batch, args.iters)
-    print(f"full: {variants['full']:.1f} ms", flush=True)
+    print(f"[{args.recipe}] full: {variants['full']:.1f} ms", flush=True)
 
-    cfg2 = dataclasses.replace(
-        cfg, gmodule=dataclasses.replace(cfg.gmodule,
-                                         with_cluster_update=False))
-    step2, state2, batch2 = _setup(cfg2)
-    variants["no_spectral"] = time_step(step2, state2, batch2, args.iters)
-    print(f"no_spectral: {variants['no_spectral']:.1f} ms", flush=True)
+    if args.recipe == "cardiac":
+        cfg2 = dataclasses.replace(
+            cfg, gmodule=dataclasses.replace(cfg.gmodule,
+                                             with_cluster_update=False))
+        step2, state2, batch2 = _setup(cfg2)
+        variants["no_spectral"] = time_step(step2, state2, batch2, args.iters)
+        print(f"no_spectral: {variants['no_spectral']:.1f} ms", flush=True)
 
-    cfg3 = dataclasses.replace(
-        cfg, gmodule=dataclasses.replace(cfg.gmodule, sinkhorn_iters=5))
-    step3, state3, batch3 = _setup(cfg3)
-    variants["sinkhorn_5"] = time_step(step3, state3, batch3, args.iters)
-    print(f"sinkhorn_5: {variants['sinkhorn_5']:.1f} ms", flush=True)
+        cfg3 = dataclasses.replace(
+            cfg, gmodule=dataclasses.replace(cfg.gmodule, sinkhorn_iters=5))
+        step3, state3, batch3 = _setup(cfg3)
+        variants["sinkhorn_5"] = time_step(step3, state3, batch3, args.iters)
+        print(f"sinkhorn_5: {variants['sinkhorn_5']:.1f} ms", flush=True)
 
     for k, v in variants.items():
         delta = variants["full"] - v

@@ -159,6 +159,45 @@ def test_collate():
     np.testing.assert_array_equal(out[1], [1, 2])
 
 
+def test_rebatched_fixed_leading_dim():
+    """rebatched() must deliver constant-shape batches (no jit retrace) from
+    a cycled loader with uneven tails, without dropping or reordering rows."""
+    from graphecho_tpu.data.loader import cycled, rebatched
+
+    class Ds:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.full((3,), i, np.float32), np.int32(i)
+
+    loader = DataLoader(Ds(), 4, shuffle=False, drop_last=False, num_workers=1)
+    it = rebatched(cycled(loader), 4)
+    seen = []
+    for _ in range(6):  # 24 rows = 2.4 dataset passes
+        a, idx = next(it)
+        assert a.shape == (4, 3) and idx.shape == (4,)
+        assert (a[:, 0] == idx).all()  # tuple elements stay row-aligned
+        seen.extend(idx.tolist())
+    # rows arrive in order, wrapping the dataset without loss
+    assert seen == [i % 10 for i in range(24)]
+
+
+def test_cycled_empty_loader_raises():
+    from graphecho_tpu.data.loader import cycled
+
+    class Empty:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return np.zeros((2,), np.float32)
+
+    loader = DataLoader(Empty(), 4, drop_last=True, num_workers=1)
+    with pytest.raises(ValueError, match="no batches"):
+        next(cycled(loader))
+
+
 @pytest.fixture
 def echo_root(tmp_path):
     import cv2

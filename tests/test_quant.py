@@ -59,10 +59,12 @@ def test_int8_masks_agree_with_float(back_bone):
     data = SyntheticEchoData(cfg, seed=3, batch_size=4)
     calib = [data.train_batch()["imgs_source"] for _ in range(3)]
     qb = quantize_fpn_backbone(back_bone, variables, calib)
+    # head vars and quantized weights are jit ARGUMENTS (not baked constants)
     infer = jax.jit(make_quantized_infer(fpn, variables, qb))
+    head_vars = {"params": variables["params"]}
 
     x = jnp.asarray(data.train_batch()["imgs_source"])
-    masks_q = np.asarray(infer(x))
+    masks_q = np.asarray(infer(head_vars, qb.qparams(), x))
 
     logits, _ = fpn.apply(variables, x, train=False)
     masks_f = np.asarray((jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8))

@@ -105,6 +105,20 @@ def test_train_step_seg_only():
     assert set(metrics) == {"seg_loss", "total_loss"}
 
 
+def test_temporal_without_graph_matching_rejected():
+    """temporal_graph=True without graph_matching must fail loud at build
+    time: the temporal branch reuses the GModule (the reference crashes too —
+    `train_camus_echo.py:271-272` calls self.graph_model, constructed only
+    under graph_matching, `:69-74`)."""
+    import pytest
+
+    from graphecho_tpu.train.steps import build_models
+
+    cfg = tiny_config(graph_matching=False, temporal_graph=True)
+    with pytest.raises(ValueError, match="graph_matching"):
+        build_models(cfg)
+
+
 def test_train_step_temporal_graph():
     # pyramid levels must pool evenly onto the node grid: 128² -> levels
     # 32/16/8/4, r=(8,4,2,1) -> all 4x4 (the reference geometry only closes at
