@@ -26,27 +26,49 @@ def collate(samples: Sequence[Any]) -> Any:
 
 
 class DataLoader:
-    """Iterates batches of `dataset[i]` with shuffling and thread prefetch."""
+    """Iterates batches of `dataset[i]` with shuffling and thread prefetch.
+
+    `process_index`/`process_count` give per-host sharded loading for
+    multi-host training — the TPU-native replacement for the reference's
+    DistributedSampler (`train_camus_echo.py:158-160`, which crashes on a
+    nonexistent attribute and is never exercised): every host shuffles the
+    SAME permutation (shared seed per epoch) and takes every
+    `process_count`-th index, so global coverage per epoch is disjoint and
+    complete while each host feeds only its local batch shard.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(num_workers, 1)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
         self._rng = np.random.RandomState(seed)
 
-    def __len__(self) -> int:
+    def _local_size(self) -> int:
         n = len(self.dataset)
+        if self.process_count == 1:
+            return n
+        # ranks r < n % count get the extra element of the uneven tail
+        return n // self.process_count + (
+            1 if self.process_index < n % self.process_count else 0)
+
+    def __len__(self) -> int:
+        n = self._local_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches_of_indices(self) -> List[List[int]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         out = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]

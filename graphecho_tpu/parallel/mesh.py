@@ -51,12 +51,24 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Device-put a host batch sharded on the leading axis. Entries whose
     leading dim does not divide the mesh (e.g. the (B/2,) `update_idx_*`
     queue columns when B/2 < devices) are replicated — GSPMD still runs the
-    dependent compute data-parallel where it can."""
+    dependent compute data-parallel where it can.
+
+    Multi-host: each process passes its LOCAL shard (per-host sharded
+    loading, `DataLoader(process_index=..., process_count=...)`) and the
+    global array is assembled with `make_array_from_process_local_data` —
+    the global leading dim is local_dim * process_count."""
     n = mesh.shape["data"]
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        spec = P("data") if v.ndim >= 1 and v.shape[0] % n == 0 else P()
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        if multihost:
+            global_lead = v.shape[0] * jax.process_count() if v.ndim >= 1 else 0
+            spec = P("data") if v.ndim >= 1 and global_lead % n == 0 else P()
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(v))
+        else:
+            spec = P("data") if v.ndim >= 1 and v.shape[0] % n == 0 else P()
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 
 

@@ -42,6 +42,19 @@ def _f32(x) -> np.ndarray:
     return np.asarray(x).astype(np.float32)
 
 
+def _proc() -> Dict[str, int]:
+    """Per-host shard kwargs for train DataLoaders (multi-host data
+    parallelism; no-op single-process). Eval loaders stay global — dice is
+    reported from full sets."""
+    import jax
+
+    try:
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+    except RuntimeError:  # backend not initialized (tests)
+        return {"process_index": 0, "process_count": 1}
+
+
 def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
              target_iter=None, temp_src_iter=None, temp_tgt_iter=None,
              cyc_iter=None) -> Iterator[Dict[str, np.ndarray]]:
@@ -95,11 +108,13 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
     src_train = DataLoaderCamus(args.camus_root, stage="train",
                                 img_res=d.img_res, img_crop=d.img_crop)
     tgt_train = Echo(args.echonet_root, split="train", validation=False)
-    src_loader = DataLoader(src_train, args.batch_size, num_workers=d.num_workers)
+    src_loader = DataLoader(src_train, args.batch_size,
+                            num_workers=d.num_workers, **_proc())
     # reference target batch = bs * 21 (`train_camus_echo.py:165`); rebatched
     # to a constant leading dim so the jitted step never retraces
     tgt_loader = DataLoader(tgt_train, args.batch_size * d.target_batch_mult,
-                            num_workers=d.num_workers, drop_last=False)
+                            num_workers=d.num_workers, drop_last=False,
+                            **_proc())
     tgt_iter = rebatched(cycled(tgt_loader),
                          args.batch_size * d.target_batch_mult)
 
@@ -114,10 +129,12 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
         temp_tgt = Echo(args.echonet_root, split="train", validation=False,
                         single_frame=False, length=d.clip_length)
         temp_src_iter = rebatched(cycled(DataLoader(
-            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False,
+            **_proc())),
             TEMPORAL_BATCH)
         temp_tgt_iter = rebatched(cycled(DataLoader(
-            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False,
+            **_proc())),
             TEMPORAL_BATCH)
 
     val_camus = DataLoader(DataLoaderCamus(args.camus_root, stage="valid",
@@ -169,9 +186,10 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                                      source_domain=False, **dims)
     # reference: source bs*2, target bs (`train_cardiac_uda.py:174-177`)
     src_loader = DataLoader(src_train, args.batch_size * 2,
-                            num_workers=d.num_workers)
+                            num_workers=d.num_workers, **_proc())
     tgt_loader = DataLoader(tgt_train, args.batch_size,
-                            num_workers=d.num_workers, drop_last=False)
+                            num_workers=d.num_workers, drop_last=False,
+                            **_proc())
     tgt_iter = rebatched(cycled(tgt_loader), args.batch_size)
 
     temp_src_iter = temp_tgt_iter = cyc_iter = None
@@ -191,10 +209,12 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                                         clip_length=d.clip_length,
                                         total_length=d.total_length, **dims)
         temp_src_iter = rebatched(cycled(DataLoader(
-            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            temp_src, TEMPORAL_BATCH, num_workers=4, drop_last=False,
+            **_proc())),
             TEMPORAL_BATCH)
         temp_tgt_iter = rebatched(cycled(DataLoader(
-            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False)),
+            temp_tgt, TEMPORAL_BATCH, num_workers=4, drop_last=False,
+            **_proc())),
             TEMPORAL_BATCH)
     if cfg.train.cyc_loss:
         # 64-frame clips, bs=1 (`train_cardiac_uda.py:179-182`). Deviation:
@@ -205,7 +225,7 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
             single_frame=False, clip_length=cfg.cycle.clip_length,
             total_length=cfg.cycle.clip_length, **dims)
         cyc_iter = cycled(DataLoader(cyc_ds, 1, num_workers=2,
-                                     drop_last=False))
+                                     drop_last=False, **_proc()))
 
     # inner 90/10 valid split (`train_cardiac_uda.py:185-188`). Deviation: the
     # reference selects set_select=['Site_R'] for these Site_G patient ids,

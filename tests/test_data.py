@@ -183,6 +183,29 @@ def test_rebatched_fixed_leading_dim():
     assert seen == [i % 10 for i in range(24)]
 
 
+def test_process_sharded_loading_disjoint_and_complete():
+    """Per-host sharded loading (the DistributedSampler replacement): with a
+    shared seed, the hosts' index sets are disjoint and cover the dataset."""
+
+    class Ds:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return np.int32(i)
+
+    per_rank = []
+    for r in range(3):
+        loader = DataLoader(Ds(), 2, shuffle=True, seed=7, drop_last=False,
+                            num_workers=1, process_index=r, process_count=3)
+        got = [int(v) for batch in loader for v in np.atleast_1d(batch)]
+        per_rank.append(got)
+    sizes = sorted(len(g) for g in per_rank)
+    assert sizes == [3, 4, 4]  # 11 = 4 + 4 + 3
+    all_idx = sorted(i for g in per_rank for i in g)
+    assert all_idx == list(range(11))  # disjoint + complete
+
+
 def test_cycled_empty_loader_raises():
     from graphecho_tpu.data.loader import cycled
 
