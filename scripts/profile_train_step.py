@@ -58,6 +58,13 @@ def _cfg(bf16: bool, recipe: str = "cardiac"):
             cfg.model, compute_dtype="bfloat16" if bf16 else "float32"))
 
 
+def _with_batch(cfg, batch):
+    if batch is None:
+        return cfg
+    return dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=batch))
+
+
 def _setup(cfg):
     import jax
     import jax.numpy as jnp
@@ -72,19 +79,21 @@ def _setup(cfg):
     batch = {k: jnp.asarray(v) for k, v in data.train_batch().items()}
     state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
                                batch)
-    step = jax.jit(make_train_step(cfg, models, optimizers))
+    # donate the state like the Trainer does (`train/trainer.py`): XLA then
+    # aliases params/opt-state buffers in place instead of rewriting them
+    step = jax.jit(make_train_step(cfg, models, optimizers), donate_argnums=0)
     return step, state, batch
 
 
 def time_step(step, state, batch, iters=30, trials=5):
     import numpy as np
 
-    new_state, metrics = step(state, batch)  # compile + warmup
+    # state is DONATED: never reuse an old reference — one continuous chain
+    s, metrics = step(state, batch)  # compile + warmup (consumes `state`)
     np.asarray(metrics["total_loss"])
 
     times = []
     for _ in range(trials):
-        s = state
         t0 = time.perf_counter()
         for _ in range(iters):
             s, metrics = step(s, batch)
@@ -99,6 +108,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--recipe", default="cardiac",
                     choices=["cardiac", "camus_temporal", "cardiac_full"])
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override source batch size (throughput scaling)")
     args = ap.parse_args()
 
     import os
@@ -110,14 +121,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
 
-    cfg = _cfg(args.bf16, args.recipe)
+    cfg = _with_batch(_cfg(args.bf16, args.recipe), args.batch)
     variants = {}
 
     step, state, batch = _setup(cfg)
     variants["full"] = time_step(step, state, batch, args.iters)
-    print(f"[{args.recipe}] full: {variants['full']:.1f} ms", flush=True)
+    b = cfg.data.batch_size
+    print(f"[{args.recipe}] full (B={b}+{b * cfg.data.target_batch_mult}): "
+          f"{variants['full']:.1f} ms "
+          f"({2 * b / variants['full'] * 1e3:.0f} imgs/s)", flush=True)
 
-    if args.recipe == "cardiac":
+    if args.recipe == "cardiac" and args.batch is None:
         cfg2 = dataclasses.replace(
             cfg, gmodule=dataclasses.replace(cfg.gmodule,
                                              with_cluster_update=False))
