@@ -208,7 +208,11 @@ class Trainer:
         assert self.state is not None
         totals: Dict[str, jnp.ndarray] = {}
         part_totals: Dict[str, Dict[str, jnp.ndarray]] = {}
-        losses = []
+        # losses accumulate ON DEVICE — a per-batch float(loss) would force a
+        # host round trip per sample (bs=1 eval loaders!), serializing the
+        # whole validation pass against fetch latency
+        loss_sum = None
+        n_batches = 0
         for imgs, masks in batches:
             imgs = jnp.asarray(imgs)
             masks = jnp.asarray(masks)
@@ -216,7 +220,8 @@ class Trainer:
                 imgs = imgs.reshape(-1, *imgs.shape[-3:])
                 masks = masks.reshape(-1, *masks.shape[-3:])
             counts, per_part, loss = self._eval_step(self.state, imgs, masks)
-            losses.append(float(loss))
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            n_batches += 1
             for k, v in counts.items():
                 totals[k] = totals.get(k, 0.0) + v
             for p, c in per_part.items():
@@ -230,7 +235,7 @@ class Trainer:
         self.logger.info(
             "validation [%s] | loss %.4f | pixel_acc %.4f | dice %.4f | "
             "precision %.4f | specificity %.4f | recall %.4f",
-            name, float(np.mean(losses)) if losses else float("nan"),
+            name, float(loss_sum) / n_batches,
             float(m.pixel_acc), float(m.dice), float(m.precision),
             float(m.specificity), float(m.recall))
         if self.cfg.train.seg_parts:
