@@ -322,7 +322,10 @@ class GModule(nn.Module):
         if cfg.matching_cfg == "m2m":
             matching_loss = self._elem_matching_loss(
                 jax.nn.sigmoid(m), target.astype(m.dtype), mask=pair_valid)
-            mm = jax.nn.sigmoid(m) * pair_valid
+            # the quadratic loss runs on the RAW affinity in m2m — the
+            # reference returns un-sigmoided M from `_forward_aff` (`:593-599`)
+            # and `_forward_train` feeds it straight to `_forward_qu` (`:348-350`)
+            mm = m * pair_valid
             e1 = jax.lax.stop_gradient(edges_1) * pair_row(g1.valid)
             e2 = jax.lax.stop_gradient(edges_2) * pair_row(g2.valid)
             r = e1 @ mm - mm @ e2

@@ -113,12 +113,19 @@ class TGCN(nn.Module):
     def _queue_update(self, queue: jnp.ndarray, feats: jnp.ndarray,
                       labels: jnp.ndarray, m: float) -> jnp.ndarray:
         """EMA dequeue/enqueue (`TGCN.py:296-302`): queue (C, K); feats (B, C);
-        labels (B,) column indices (assumed unique within the batch)."""
-        k = queue.shape[1]
-        onehot = jax.nn.one_hot(labels, k, dtype=queue.dtype)  # (B, K)
-        upd = feats.T @ onehot  # (C, K) — the new values in updated columns
-        updated_cols = jnp.sum(onehot, axis=0) > 0
-        return jnp.where(updated_cols[None, :], queue * m + upd * (1 - m), queue)
+        labels (B,) column indices. Applied SEQUENTIALLY per batch item like
+        the reference's python loop, so a duplicated label composes as two
+        EMA steps (m²·q + m(1-m)·f_i + (1-m)·f_j) instead of a corrupting
+        summed one-shot write. B is the tiny clip batch — the scan is free."""
+
+        def body(q, fl):
+            f, lbl = fl
+            col = jax.lax.dynamic_slice_in_dim(q, lbl, 1, axis=1)[:, 0]
+            return jax.lax.dynamic_update_slice_in_dim(
+                q, (col * m + f * (1 - m))[:, None], lbl, axis=1), None
+
+        queue, _ = jax.lax.scan(body, queue, (feats, labels))
+        return queue
 
     def __call__(self, pyramid_clips: Sequence[jnp.ndarray],
                  source_nodes: jnp.ndarray, source_valid: jnp.ndarray,

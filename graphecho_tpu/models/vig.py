@@ -53,14 +53,41 @@ def get_2d_relative_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     return 2 * (pos @ pos.T) / pos.shape[1]
 
 
+def _torch_cubic_weight(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel with torch's a=-0.75 (jax.image uses the Keys
+    a=-0.5 spline — numerically different near ties)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1, (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+        np.where(ax < 2, a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a, 0.0))
+
+
+def _torch_bicubic_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) 1-D resize matrix reproducing torch
+    `F.interpolate(mode='bicubic', align_corners=False)`: half-pixel source
+    coords, 4 taps, indices clamped to the border (weights accumulate there).
+    """
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        x = (o + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        for t in range(-1, 3):
+            idx = min(max(x0 + t, 0), n_in - 1)
+            w[o, idx] += _torch_cubic_weight(np.float64(x - (x0 + t)))
+    return w
+
+
 @functools.lru_cache(maxsize=None)
 def _relative_pos_const(channels: int, n: int, n_reduced: int) -> np.ndarray:
-    """Precompute -relative_pos interpolated to (n, n_reduced) with bicubic,
-    matching the Grapher buffer (`vig.py:406-412`)."""
+    """Precompute -relative_pos interpolated to (n, n_reduced) with
+    torch-exact bicubic, matching the Grapher buffer (`vig.py:406-412`).
+    Separable matmul weights rather than gather-resize (TPU-friendly and
+    reproduces torch's a=-0.75 kernel, which `jax.image.resize` does not)."""
     rel = get_2d_relative_pos_embed(channels, int(n**0.5)).astype(np.float32)
-    out = jax.image.resize(jnp.asarray(-rel)[None], (1, n, n_reduced),
-                           method="bicubic")[0]
-    return np.asarray(out)
+    wr = _torch_bicubic_matrix(n, rel.shape[0])
+    wc = _torch_bicubic_matrix(n_reduced, rel.shape[1])
+    return np.asarray(-(wr @ rel @ wc.T), np.float32)
 
 
 # ------------------------------------------------------------- basic layers

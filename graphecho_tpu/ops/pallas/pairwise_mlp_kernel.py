@@ -68,10 +68,6 @@ def _bwd_da_kernel(a_ref, b_ref, w2_ref, g_ref, da_ref, dw2_ref, db2_ref):
     def _():
         da_ref[...] = jnp.zeros_like(da_ref)
 
-    @pl.when(i == 0)
-    def _():
-        pass
-
     @pl.when((i == 0) & (j == 0))
     def _():
         dw2_ref[...] = jnp.zeros_like(dw2_ref)

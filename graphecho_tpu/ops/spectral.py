@@ -96,18 +96,23 @@ def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
 
 def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
                          kmeans_iters: int = 10,
-                         solver: str = "lanczos") -> jnp.ndarray:
+                         solver: str = "lanczos",
+                         k: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Split `points` (N, C) into 2 clusters; returns (N,) int32 in {0, 1}.
 
-    `valid` (N,) masks real rows; invalid rows get cluster -1. k for the kNN
-    graph is n_valid // 2, matching the reference's `n_neighbors=len(bs)//2`.
+    `valid` (N,) masks real rows; invalid rows get cluster -1. `k` is the kNN
+    graph's neighbor count; defaults to n_valid // 2. (`seed_consistent_mean`
+    passes the reference's `n_neighbors=len(bs)//2` where `bs` EXCLUDES the
+    prepended seed row, `graph_matching.py:538-540`.)
     `solver`: 'lanczos' (fast, default) | 'eigh' (exact dense solve).
     """
     points = points.astype(jnp.float32)  # eigensolve/k-means need full precision
     n = points.shape[0]
     fvalid = valid.astype(points.dtype)
     n_valid = jnp.sum(fvalid).astype(jnp.int32)
-    k = jnp.maximum(n_valid // 2, 1)
+    if k is None:
+        k = n_valid // 2
+    k = jnp.maximum(k, 1)
 
     d = _pairwise_sq_dists(points)
     big = jnp.asarray(1e9, d.dtype)
@@ -168,7 +173,10 @@ def seed_consistent_mean(seed: jnp.ndarray, nodes: jnp.ndarray,
     nodes = nodes.astype(jnp.float32)
     pts = jnp.concatenate([seed[None, :], nodes], axis=0)
     val = jnp.concatenate([jnp.ones((1,), bool), valid], axis=0)
-    assign = spectral_bipartition(pts, val, solver=solver)
+    # n_neighbors counts the class NODES only, not the prepended seed row
+    # (reference `n_neighbors=len(bs)//2` with `bs` = nodes, `:538-540`)
+    k = jnp.sum(valid.astype(jnp.int32)) // 2
+    assign = spectral_bipartition(pts, val, solver=solver, k=k)
     keep = (assign[1:] == assign[0]) & valid
     cnt = jnp.sum(keep.astype(nodes.dtype))
     mean = jnp.sum(jnp.where(keep[:, None], nodes, 0.0), axis=0) / jnp.maximum(cnt, 1.0)

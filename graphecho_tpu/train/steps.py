@@ -38,8 +38,6 @@ DIS_LEVELS = ("p2", "p3", "p4", "p5")
 
 
 def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
-    import jax.numpy as jnp  # noqa: F811
-
     if cfg.train.temporal_graph and not cfg.train.graph_matching:
         # The temporal branch runs the GModule on the clip features; the
         # reference has the same dependency (train_camus_echo.py:271-272 calls
@@ -165,6 +163,11 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
             tgt_feats = [f[half:] for f in feats_]
             boxes_s2 = masks_to_boxes(src_masks if not is_camus
                                       else src_masks[..., :1])
+            # Deviation: the reference passes RAW logits as the temporal
+            # target score_maps (`train_camus_echo.py:272`), which — being
+            # ~never exactly 0 under `mask != 0` boxing — degenerate every
+            # channel to a full-image box. We threshold like the main branch
+            # (`:219`) so temporal target boxes carry real geometry.
             boxes_t2 = masks_to_boxes(
                 (jax.nn.sigmoid(preds_[half:]) > 0.5).astype(jnp.float32))
             src2 = sample_nodes(src_feats, boxes_s2, cfg.gmodule.sampler)
@@ -200,10 +203,15 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
 
         if t.cyc_loss:
             # backbone layer-4 features summed spatially
-            # (`train_cardiac_uda.py:245-253`)
-            c5 = fpn.apply({"params": net_params, "batch_stats": bs},
-                           batch["cyc_imgs"], train=False,
-                           method=lambda m, x, train: m.backbone(x, train=train))
+            # (`train_cardiac_uda.py:245-253`). The network is in train() mode
+            # there, so BN uses the 64-frame batch statistics AND updates the
+            # running stats from the cyc clip — reproduced via mutable stats.
+            c5, cyc_mut = fpn.apply(
+                {"params": net_params, "batch_stats": bs},
+                batch["cyc_imgs"], train=True,
+                method=lambda m, x, train: m.backbone(x, train=train),
+                mutable=["batch_stats"])
+            bs = cyc_mut["batch_stats"]
             feat_out = jnp.sum(c5[-1], axis=(1, 2))
             losses["cyc_loss"] = seg_cycle(
                 feat_out, k_cyc, cfg.cycle.target_region, cfg.cycle.cyc_off,

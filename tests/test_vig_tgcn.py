@@ -77,6 +77,43 @@ def test_mrconv_interleave_semantics():
     assert kshape == (1, 16 // 4, 8)
 
 
+def test_relative_pos_bicubic_matches_torch():
+    """The Grapher relative_pos buffer uses torch-exact bicubic (a=-0.75,
+    align_corners=False, clamped taps) — `F.interpolate` parity
+    (reference `vig.py:406-412`)."""
+    from graphecho_tpu.models.vig import (_torch_bicubic_matrix,
+                                          get_2d_relative_pos_embed)
+
+    for n_out, m_out in [(196, 49), (256, 64)]:
+        rel = get_2d_relative_pos_embed(64, 14).astype(np.float32)
+        want = F.interpolate(torch.from_numpy(rel)[None, None],
+                             size=(n_out, m_out), mode="bicubic",
+                             align_corners=False)[0, 0].numpy()
+        wr = _torch_bicubic_matrix(n_out, rel.shape[0])
+        wc = _torch_bicubic_matrix(m_out, rel.shape[1])
+        np.testing.assert_allclose(wr @ rel @ wc.T, want, atol=1e-4)
+
+
+def test_queue_update_duplicate_labels_sequential():
+    """Duplicate update indices must compose as sequential EMA steps (the
+    reference's python loop, `TGCN.py:296-302`), not a summed one-shot write."""
+    cfg = TGCNConfig(input_dim=8, hidden_dim=8, clip_shape=(2, 2, 2),
+                     knn_k=2, queue_size=5, cluster_method="momentum_queue")
+    tgcn = TGCN(cfg)
+    m = cfg.queue_momentum
+    q0 = np.random.RandomState(0).rand(8, 5).astype(np.float32)
+    feats = np.random.RandomState(1).rand(2, 8).astype(np.float32)
+    labels = np.array([3, 3], np.int32)  # duplicate column
+    out = np.asarray(tgcn._queue_update(jnp.asarray(q0), jnp.asarray(feats),
+                                        jnp.asarray(labels), m))
+    want = q0.copy()
+    for i in range(2):  # sequential reference semantics
+        want[:, 3] = want[:, 3] * m + feats[i] * (1 - m)
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    # untouched columns unchanged
+    np.testing.assert_array_equal(out[:, :3], q0[:, :3])
+
+
 def test_sincos_matches_reference_numpy():
     """Port parity for the 2D sincos embedding (vig.py:38-85)."""
     got = get_2d_sincos_pos_embed(16, 4)
