@@ -39,7 +39,7 @@ class SegCardiacUDADataset:
                  crop_size: int = 256, single_frame: bool = True,
                  total_length: int = 40, clip_length: int = 8,
                  seg_parts: bool = True, source_domain: bool = True,
-                 fill_mask: bool = False, seed: Optional[int] = None):
+                 fill_mask: bool = False, seed: Optional[int] = 7777):
         self.root = root
         self.is_train = is_train
         self.set_select = list(set_select)
@@ -53,6 +53,10 @@ class SegCardiacUDADataset:
         self.source_domain = source_domain
         self.fill_mask = fill_mask
         self.repeat = repeat
+        # default seed mirrors the reference's module-level random.seed(7777)
+        # (`datasets/cardiac_uda.py:35-36`): the 90/10 split below MUST be
+        # identical across dataset instances (src/temporal/cyc loaders) and
+        # across restarts/hosts, or held-out test videos leak into training
         self._py_rng = random.Random(seed)
         self._rng = np.random.RandomState(seed)
 
@@ -93,7 +97,7 @@ class SegCardiacUDADataset:
                 0, select_index if select_index < self.clip_length - 1
                 else self.clip_length - 1)
             start = select_index - r_index
-            end = start + self.clip_length - 1
+            end = start + self.clip_length  # full clip_length frames
             return images[:, :, start:end], masks[:, :, start:end], r_index
         if self.single_frame:
             return images, masks, 0

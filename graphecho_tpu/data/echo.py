@@ -59,6 +59,13 @@ class Echo:
         if self.split != "ALL":
             data = data[data["Split"] == self.split]
         self.fnames: List[str] = data["FileName"].tolist()
+        # Deviation: the stock EchoNet-Dynamic FileList.csv carries
+        # extension-less names while VolumeTracings keys get ".avi" appended
+        # below; the reference's own normalization is commented out
+        # (`datasets/echo.py:115`), so it crashes on the stock release. We
+        # normalize so both CSV flavors load.
+        self.fnames = [f if f.endswith(".avi") else f + ".avi"
+                       for f in self.fnames]
         self.outcome = data.values.tolist()
         self.header = data.columns.tolist()
 

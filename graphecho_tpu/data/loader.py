@@ -55,9 +55,10 @@ class DataLoader:
         n = len(self.dataset)
         if self.process_count == 1:
             return n
-        # ranks r < n % count get the extra element of the uneven tail
-        return n // self.process_count + (
-            1 if self.process_index < n % self.process_count else 0)
+        # every rank takes exactly floor(n / count): unequal per-rank sizes
+        # would give hosts different batch counts per epoch, and a host that
+        # runs one more jitted step than its peers deadlocks the collectives
+        return n // self.process_count
 
     def __len__(self) -> int:
         n = self._local_size()
@@ -68,7 +69,9 @@ class DataLoader:
         if self.shuffle:
             self._rng.shuffle(idx)
         if self.process_count > 1:
-            idx = idx[self.process_index::self.process_count]
+            # strided shard, truncated to the common per-rank size (see
+            # _local_size: equal step counts across hosts are mandatory)
+            idx = idx[self.process_index::self.process_count][:self._local_size()]
         out = []
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
@@ -84,14 +87,28 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that keeps checking the stop flag: a consumer that
+            # abandons iteration mid-epoch (init_state's single next(), an
+            # exception, preemption) must not leave this thread blocked
+            # forever on a full prefetch queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(samples))
-            q.put(None)
+                    if not put(collate(samples)):
+                        return
+            put(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

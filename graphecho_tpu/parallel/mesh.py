@@ -56,16 +56,26 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     Multi-host: each process passes its LOCAL shard (per-host sharded
     loading, `DataLoader(process_index=..., process_count=...)`) and the
     global array is assembled with `make_array_from_process_local_data` —
-    the global leading dim is local_dim * process_count."""
+    the global leading dim is local_dim * process_count. Entries that cannot
+    shard are REJECTED rather than 'replicated' from differing per-host data
+    (each host would silently hold different values for the same logical
+    array). The temporal/cyc branches carry such entries (`update_idx_*`)
+    and a per-host source+target concat whose halves don't compose into the
+    global layout — `real_training` gates them off multi-host."""
     n = mesh.shape["data"]
     multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if multihost:
             global_lead = v.shape[0] * jax.process_count() if v.ndim >= 1 else 0
-            spec = P("data") if v.ndim >= 1 and global_lead % n == 0 else P()
+            if not (v.ndim >= 1 and global_lead % n == 0):
+                raise ValueError(
+                    f"shard_batch: entry {k!r} (local shape {v.shape}) cannot "
+                    f"be sharded over {n} devices from "
+                    f"{jax.process_count()} hosts; replicating per-host data "
+                    "would give hosts inconsistent values")
             out[k] = jax.make_array_from_process_local_data(
-                NamedSharding(mesh, spec), np.asarray(v))
+                NamedSharding(mesh, P("data")), np.asarray(v))
         else:
             spec = P("data") if v.ndim >= 1 and v.shape[0] % n == 0 else P()
             out[k] = jax.device_put(v, NamedSharding(mesh, spec))

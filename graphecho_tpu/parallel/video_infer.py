@@ -17,10 +17,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_sharded_video_infer(fpn, mesh: Mesh):
+def make_sharded_video_infer(fpn, mesh: Mesh, threshold: float = 0.5):
     """Returns `infer(variables, frames) -> (pred, counts)` with the frame
     axis sharded over the mesh's `data` axis. `frames`: (T, H, W, C) — T must
-    be a multiple of the mesh size (pad with zero frames otherwise)."""
+    be a multiple of the mesh size (pad with zero frames otherwise).
+    `threshold` must match the caller's batch path (serve.Predictor passes
+    its own) so predict() and predict_video() agree."""
 
     frame_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
@@ -28,7 +30,7 @@ def make_sharded_video_infer(fpn, mesh: Mesh):
     @jax.jit
     def infer(variables, frames):
         logits, _ = fpn.apply(variables, frames, train=False)
-        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8)
+        pred = (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
         return pred
 
     def run(variables, frames) -> Tuple[jnp.ndarray, int]:

@@ -277,11 +277,14 @@ def quantize_fpn_backbone(back_bone: str, variables: Dict,
     return qb
 
 
-def make_quantized_infer(fpn, variables: Dict, qb: QuantizedBackbone
+def make_quantized_infer(fpn, variables: Dict, qb: QuantizedBackbone,
+                         threshold: float = 0.5,
+                         bf16_features: bool = False
                          ) -> Callable[[Dict, Dict, jnp.ndarray], jnp.ndarray]:
     """Jittable end-to-end inference: int8 backbone -> float FPN head ->
-    sigmoid>0.5 masks (the reference validation contract,
-    `train_cardiac_uda.py:376-426`).
+    sigmoid>threshold masks (the reference validation contract,
+    `train_cardiac_uda.py:376-426`). `bf16_features` casts the dequantized
+    backbone features to bf16 before the head (the serving configuration).
 
     Returns `infer(head_vars, qparams, x)` — both parameter pytrees are
     ARGUMENTS so jit does not const-fold ~25M weights into the HLO (the
@@ -290,7 +293,9 @@ def make_quantized_infer(fpn, variables: Dict, qb: QuantizedBackbone
 
     def infer(head_vars, qparams, x):
         feats = qb(x, qparams=qparams)
+        if bf16_features:
+            feats = [f.astype(jnp.bfloat16) for f in feats]
         logits, _ = fpn.apply(head_vars, feats, method=FPN.head)
-        return (jax.nn.sigmoid(logits) > 0.5).astype(jnp.int8)
+        return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
 
     return infer

@@ -55,6 +55,21 @@ def _proc() -> Dict[str, int]:
         return {"process_index": 0, "process_count": 1}
 
 
+def _check_multihost(cfg: ExperimentConfig) -> None:
+    """Multi-host data parallelism covers the base UDA step. The temporal and
+    cycle branches build per-host [source; target] concatenated clip batches
+    plus sub-device-granularity `update_idx_*` entries — neither composes
+    into a consistent global array across hosts (see `parallel/mesh.py::
+    shard_batch`). Fail loud instead of training with silently-divergent
+    per-host state."""
+    if _proc()["process_count"] > 1 and (cfg.train.temporal_graph
+                                         or cfg.train.cyc_loss):
+        raise ValueError(
+            "multi-host training supports the base UDA branches only; run "
+            "--temporal-graph / --cyc-loss single-host (scale via per-host "
+            "batch and devices), or drop those flags for multi-host runs")
+
+
 def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
              target_iter=None, temp_src_iter=None, temp_tgt_iter=None,
              cyc_iter=None) -> Iterator[Dict[str, np.ndarray]]:
@@ -104,6 +119,7 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
             graph_matching=not args.no_graph_matching,
             discriminator=not args.no_discriminator,
             temporal_graph=args.temporal_graph)
+    _check_multihost(cfg)
     d = cfg.data
     src_train = DataLoaderCamus(args.camus_root, stage="train",
                                 img_res=d.img_res, img_crop=d.img_crop)
@@ -175,6 +191,7 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
             discriminator=not args.no_discriminator,
             temporal_graph=args.temporal_graph,
             cyc_loss=args.cyc_loss)
+    _check_multihost(cfg)
     d = cfg.data
     view = (d.view_num,)
     dims = dict(spatial_size=d.img_res[0], crop_size=d.img_crop[0],

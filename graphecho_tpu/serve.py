@@ -58,8 +58,8 @@ class Predictor:
                 "sharded video inference")
 
         if quantize:
-            from graphecho_tpu.models.fpn import FPN
             from graphecho_tpu.quant import quantize_fpn_backbone
+            from graphecho_tpu.quant.ptq import make_quantized_infer
 
             if calib_batches is None:
                 from graphecho_tpu.data.synthetic import SyntheticEchoData
@@ -70,15 +70,11 @@ class Predictor:
             qb = quantize_fpn_backbone(cfg.model.backbone, variables,
                                        calib_batches)
             self._qparams = qb.qparams()
-
-            # params/weights are jit ARGUMENTS — closing over the quantized
-            # backbone would const-fold every kernel into the HLO (the
-            # remote-compile stall mode CLAUDE.md warns about)
-            @jax.jit
-            def _infer_q(head_vars, qparams, x):
-                feats = [f.astype(jnp.bfloat16) for f in qb(x, qparams=qparams)]
-                logits, _ = self.fpn.apply(head_vars, feats, method=FPN.head)
-                return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
+            # weights are jit ARGUMENTS inside make_quantized_infer — never
+            # const-folded into the HLO (the remote-compile stall mode)
+            _infer_q = jax.jit(make_quantized_infer(
+                self.fpn, variables, qb, threshold=threshold,
+                bf16_features=True))
 
             def _infer(variables, x):
                 return _infer_q({"params": variables["params"]},
@@ -94,7 +90,8 @@ class Predictor:
         if mesh is not None:
             from graphecho_tpu.parallel.video_infer import make_sharded_video_infer
 
-            self._video = make_sharded_video_infer(self.fpn, mesh)
+            self._video = make_sharded_video_infer(self.fpn, mesh,
+                                                   threshold=threshold)
 
     @classmethod
     def from_checkpoint(cls, cfg: ExperimentConfig, checkpoint_dir: str,

@@ -183,9 +183,11 @@ def test_rebatched_fixed_leading_dim():
     assert seen == [i % 10 for i in range(24)]
 
 
-def test_process_sharded_loading_disjoint_and_complete():
+def test_process_sharded_loading_disjoint_and_equal():
     """Per-host sharded loading (the DistributedSampler replacement): with a
-    shared seed, the hosts' index sets are disjoint and cover the dataset."""
+    shared seed the hosts' index sets are disjoint, and every host gets the
+    SAME number of samples/batches — unequal counts would desynchronize the
+    jitted steps' collectives across hosts."""
 
     class Ds:
         def __len__(self):
@@ -198,12 +200,12 @@ def test_process_sharded_loading_disjoint_and_complete():
     for r in range(3):
         loader = DataLoader(Ds(), 2, shuffle=True, seed=7, drop_last=False,
                             num_workers=1, process_index=r, process_count=3)
+        assert len(loader) == 2  # identical on every rank
         got = [int(v) for batch in loader for v in np.atleast_1d(batch)]
         per_rank.append(got)
-    sizes = sorted(len(g) for g in per_rank)
-    assert sizes == [3, 4, 4]  # 11 = 4 + 4 + 3
-    all_idx = sorted(i for g in per_rank for i in g)
-    assert all_idx == list(range(11))  # disjoint + complete
+    assert [len(g) for g in per_rank] == [3, 3, 3]  # floor(11/3) each
+    all_idx = [i for g in per_rank for i in g]
+    assert len(set(all_idx)) == len(all_idx)  # disjoint across ranks
 
 
 def test_cycled_empty_loader_raises():
