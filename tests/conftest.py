@@ -21,12 +21,14 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still setta
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the train-step tests compile multi-minute XLA
-# programs; caching makes repeat suite runs fast.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache for the CPU suite. Empirically on this
+# host, XLA:CPU's serialized AOT executables are not reliably reloadable for
+# the largest programs (the full-model mesh-parity step): a cleanly-written
+# cache entry from a PASSING run aborts the interpreter on reload ("Fatal
+# Python error: Aborted" inside the fetch; cpu_aot_loader machine-feature
+# E-logs accompany it). Fresh compiles always pass, so the suite trades
+# repeat-run speed for determinism. TPU-side caching (bench.py, profiler,
+# __graft_entry__) is unaffected — those reloads have been reliable.
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
