@@ -119,6 +119,9 @@ class GModuleConfig:
     weight_dis: float = 0.1
     lambda_dis: float = 0.02
     sinkhorn_iters: int = 20  # (`graph_matching.py:575`)
+    # Attention dropout (reference hardcodes 0.1, `transformer.py:47,52`).
+    # Set 0.0 for deterministic parity/reproduction runs.
+    dropout: float = 0.1
     seed_cluster_min_nodes: int = 20  # k in update_seed (`:534`)
     # Fiedler solver for the on-device seed clustering: 'lanczos' (deflated
     # 24-step Lanczos, ~6x faster than TPU eigh at 113x113; the update runs

@@ -96,7 +96,12 @@ class SegCardiacUDADataset:
             r_index = self._py_rng.randint(
                 0, select_index if select_index < self.clip_length - 1
                 else self.clip_length - 1)
-            start = select_index - r_index
+            t = images.shape[-1]
+            if t < self.clip_length:
+                return None, None, None
+            # clamp so the window never runs past the video tail (a short
+            # clip would break the static-shape collate/jit path)
+            start = min(select_index - r_index, t - self.clip_length)
             end = start + self.clip_length  # full clip_length frames
             return images[:, :, start:end], masks[:, :, start:end], r_index
         if self.single_frame:

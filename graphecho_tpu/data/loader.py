@@ -101,14 +101,21 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    if not put(collate(samples)):
-                        return
-            put(None)
+            # any exception (dataset.__getitem__ raising inside pool.map
+            # included) is forwarded to the consumer — a dead producer must
+            # never leave the consumer blocked forever on q.get()
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                batch_idx))
+                        if not put(collate(samples)):
+                            return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
+                put(exc)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()
@@ -117,6 +124,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

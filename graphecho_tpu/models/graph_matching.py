@@ -161,10 +161,12 @@ class GModule(nn.Module):
         # seed completion projection (`:166`)
         self.seed_project_left = dense(c, "seed_project_left")
         # graph attention (`:172-173`)
-        self.intra_domain_graph = MultiHeadAttention(c, 1, dropout=0.1,
+        self.intra_domain_graph = MultiHeadAttention(c, 1,
+                                                     dropout=self.cfg.dropout,
                                                      dtype=self.dtype,
                                                      name="intra_domain_graph")
-        self.cross_domain_graph = MultiHeadAttention(c, 1, dropout=0.1,
+        self.cross_domain_graph = MultiHeadAttention(c, 1,
+                                                     dropout=self.cfg.dropout,
                                                      dtype=self.dtype,
                                                      name="cross_domain_graph")
         # affinity (`:176`)

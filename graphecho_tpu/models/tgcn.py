@@ -86,30 +86,6 @@ class TGCN(nn.Module):
             self.node_dis_lns = [ln(f"node_dis_ln_{i}") for i in range(3)]
             self.node_dis_out = dense(1, "node_dis_out")
 
-    def _frame_nodes(self, frame_feats: Sequence[jnp.ndarray], t_idx: int,
-                     train: bool) -> jnp.ndarray:
-        """Pool pyramid levels of one frame to the node grid, project, add
-        positional embedding (`TGCN.py:62-72`). Returns (B, H*W, C).
-
-        Pooling is adaptive to the (gh, gw) grid (MXU matmul pooling,
-        `ops/resize.py`). When each level divides the grid this equals the
-        reference's fixed `avg_pool2d(r)` exactly; otherwise — e.g. the CAMUS
-        112² config, whose 28/14/7/4 pyramid cannot close an 8x8 grid with
-        fixed ratios and crashes the reference (`TGCN.py:63-72`) — it still
-        produces the grid, making the temporal branch usable there."""
-        cfg = self.cfg
-        _, gh, gw = cfg.clip_shape
-        pooled = [adaptive_avg_pool2d(x, (gh, gw)) for x in frame_feats]
-        x = jnp.concatenate(pooled, axis=-1)  # (B, gh, gw, 4C)
-        x = self.mlp_conv1(x)
-        x = self.mlp_bn(x, use_running_average=not train)
-        x = _act("gelu")(x)
-        x = self.dropout(x, deterministic=not train)
-        x = self.mlp_conv2(x)
-        x = x + self.pos_embed[t_idx]  # (1, gh, gw, C) broadcast over batch
-        b = x.shape[0]
-        return x.reshape(b, gh * gw, -1)
-
     def _queue_update(self, queue: jnp.ndarray, feats: jnp.ndarray,
                       labels: jnp.ndarray, m: float) -> jnp.ndarray:
         """EMA dequeue/enqueue (`TGCN.py:296-302`): queue (C, K); feats (B, C);
@@ -153,15 +129,50 @@ class TGCN(nn.Module):
             "(reference geometry: 256^2 images -> 8x8 grid)")
         b = pyramid_clips[0].shape[0]
 
-        hidden = jnp.zeros((b, gh * gw, cfg.hidden_dim),
-                           pyramid_clips[0].dtype)
-        current = hidden
-        for t in range(t_len):
-            frame = [lvl[:, t] for lvl in pyramid_clips]
-            x = self._frame_nodes(frame, t, train)
+        # Pool every frame of every level to the node grid in ONE batched
+        # pass (param-free, so it can leave the recurrence; bigger matmuls
+        # for the MXU), then lax.scan the per-frame cell over time. Pooling
+        # is adaptive to the (gh, gw) grid (`ops/resize.py`): when each
+        # level divides the grid this equals the reference's fixed
+        # `avg_pool2d(r)` exactly; otherwise — e.g. the CAMUS 112² config,
+        # whose 28/14/7/4 pyramid cannot close an 8x8 grid with fixed
+        # ratios and crashes the reference (`TGCN.py:63-72`) — it still
+        # produces the grid. In the scan, params are broadcast and
+        # batch_stats are carried, so the BN runs on per-frame batch
+        # statistics updated sequentially — exactly the reference's
+        # unrolled loop semantics (`TGCN.py:230-236`, MLP+pos-embed
+        # `:62-72,182`) at a fraction of the HLO size.
+        pooled = [
+            adaptive_avg_pool2d(
+                lvl.reshape(b * t_len, *lvl.shape[2:]), (gh, gw)
+            ).reshape(b, t_len, gh, gw, -1)
+            for lvl in pyramid_clips
+        ]
+        frames = jnp.concatenate(pooled, axis=-1)  # (B, T, gh, gw, 4C)
+        frames = jnp.moveaxis(frames, 1, 0)        # (T, B, gh, gw, 4C)
+
+        def cell(mdl, hidden, xs):
+            frame, pos = xs
+            x = mdl.mlp_conv1(frame)
+            x = mdl.mlp_bn(x, use_running_average=not train)
+            x = _act("gelu")(x)
+            x = mdl.dropout(x, deterministic=not train)
+            x = mdl.mlp_conv2(x)
+            x = (x + pos).reshape(b, gh * gw, -1)
             nn_idx = dilated_knn_graph(x, hidden, cfg.knn_k, 1)
-            current = self.mr_conv(x, nn_idx, hidden, train)
-            hidden = current
+            return mdl.mr_conv(x, nn_idx, hidden, train), None
+
+        scan = nn.scan(cell, variable_broadcast="params",
+                       variable_carry="batch_stats",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=0, out_axes=0)
+        hidden0 = jnp.zeros((b, gh * gw, cfg.hidden_dim),
+                            pyramid_clips[0].dtype)
+        if self.is_initializing():
+            # carried collections must exist BEFORE the scan: prime the
+            # cell's params/batch_stats with one unscanned application
+            cell(self, hidden0, (frames[0], self.pos_embed[0]))
+        current, _ = scan(self, hidden0, (frames, self.pos_embed))
 
         # prediction head -> clip embedding (B, C)
         grid = current.reshape(b, gh, gw, -1)

@@ -28,11 +28,17 @@ eigenvalues with a diagonal penalty so they never enter the Fiedler vector.
 Numerics differ from sklearn (LOBPCG vs Lanczos/eigh, k-means init) but the
 clustering semantics — split the class's nodes in two, keep the subcluster
 containing the seed — are preserved.
+
+NOTE: the default Lanczos solve is approximate; on ambiguously-separated node
+sets its bipartition (and hence the seed EMA) can drift from the exact solve
+with no runtime signal. Parity-sensitive reproduction runs should set
+`GModuleConfig.spectral_solver="eigh"` (exact dense solve; ~6x slower at
+these sizes but still fully on-device).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

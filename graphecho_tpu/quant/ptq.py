@@ -277,7 +277,7 @@ def quantize_fpn_backbone(back_bone: str, variables: Dict,
     return qb
 
 
-def make_quantized_infer(fpn, variables: Dict, qb: QuantizedBackbone,
+def make_quantized_infer(fpn, qb: QuantizedBackbone,
                          threshold: float = 0.5,
                          bf16_features: bool = False
                          ) -> Callable[[Dict, Dict, jnp.ndarray], jnp.ndarray]:

@@ -73,8 +73,7 @@ class Predictor:
             # weights are jit ARGUMENTS inside make_quantized_infer — never
             # const-folded into the HLO (the remote-compile stall mode)
             _infer_q = jax.jit(make_quantized_infer(
-                self.fpn, variables, qb, threshold=threshold,
-                bf16_features=True))
+                self.fpn, qb, threshold=threshold, bf16_features=True))
 
             def _infer(variables, x):
                 return _infer_q({"params": variables["params"]},

@@ -104,7 +104,8 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
         net_params = trainable["net"]
         bs = state.net_batch_stats
 
-        rng, k_drop, k_gm, k_drop2, k_gm2, k_cyc = jax.random.split(rng, 6)
+        (rng, k_drop, k_gm, k_drop2, k_gm2, k_cyc,
+         k_drop_tgcn) = jax.random.split(rng, 7)
 
         def fpn_apply(x, stats):
             (logits, feats), mut = fpn.apply(
@@ -191,7 +192,7 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
                 (state.queue_source, state.queue_target),
                 (batch["update_idx_source"], batch["update_idx_target"]),
                 train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop2})
+                rngs={"dropout": k_drop_tgcn})
             losses["temporal_graph_loss"] = (sum(tg_losses.values())
                                              + sum(gm2_losses.values()))
             # sub-loss visibility for logging/debugging

@@ -46,12 +46,15 @@ def _cfg(bf16: bool, recipe: str = "cardiac"):
         cfg = cardiac_uda_config(graph_matching=True, discriminator=True,
                                  temporal_graph=True, cyc_loss=True)
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, batch_size=4,
+            cfg, data=dataclasses.replace(cfg.data, batch_size=8,
                                           target_batch_mult=1))
     else:
+        # B=8+8 is the TPU production default: measured ~equal step time to
+        # the paper's 4+4 at 2x throughput (BENCHMARKS.md batch table).
+        # `--batch 4` reproduces the paper rows.
         cfg = cardiac_uda_config()
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, batch_size=4,
+            cfg, data=dataclasses.replace(cfg.data, batch_size=8,
                                           target_batch_mult=1))
     return dataclasses.replace(
         cfg, model=dataclasses.replace(

@@ -12,9 +12,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 device threads timeshare ONE physical core here, so legitimate
+    # skew between collective participants can exceed XLA:CPU's default
+    # 40 s rendezvous kill (observed: MULTICHIP_r02 rc-134 abort). These
+    # are liveness timeouts, not correctness gates — raise them far past
+    # any real execution skew.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402  (already imported by sitecustomize; config still settable)
 

@@ -241,11 +241,16 @@ def echo_root(tmp_path):
             for k in range(4):
                 rows.append(f"{name[:-4]},{8+k},{8+2*k},{24-k},{8+2*k},{frame}")
     with open(tmp_path / "FileList.csv", "w") as f:
-        f.write("FileName,Split\n")
-        for n in names:
-            f.write(f"{n},TRAIN\n")
+        f.write("FileName,EF,EDV,ESV,Split\n")
+        for i, n in enumerate(names):
+            f.write(f"{n},{55.0 + i},{140.0 + i},{60.0 + i},TRAIN\n")
     with open(tmp_path / "VolumeTracings.csv", "w") as f:
         f.write("\n".join(rows))
+    # external-test videos live outside the root (`echo.py:102-103`)
+    ext = tmp_path / "external"
+    ext.mkdir()
+    vid = (rng.rand(12, 32, 32) * 255).astype(np.uint8)
+    savevideo(str(ext / "ext0.avi"), vid)
     return str(tmp_path)
 
 
@@ -263,3 +268,101 @@ def test_echo_dataset(echo_root):
     clip_ds = Echo(echo_root, split="train", single_frame=False, length=4)
     clip, mask, _, _ = clip_ds[1]
     assert clip.shape[0] == 4 and clip.shape[-1] == 1
+
+
+def test_echo_target_type_list(echo_root):
+    """target_type list semantics — EF/EDV/ESV outcomes, Large/SmallIndex,
+    Large/SmallFrame, Filename, traces (`reference/datasets/echo.py:226-263`)."""
+    from graphecho_tpu.data.echo import Echo
+
+    ds = Echo(echo_root, split="train", single_frame=False, length=4,
+              target_type=["EF", "EDV", "ESV", "LargeIndex", "SmallIndex",
+                           "LargeFrame", "SmallFrame", "Filename",
+                           "LargeTrace", "SmallTrace"])
+    clip, target, _, idx = ds[1]
+    (ef, edv, esv, li, si, lf, sf, fname, lt, st) = target
+    assert (ef, edv, esv) == (56.0, 141.0, 61.0)  # row i=1 of the fixture
+    assert (li, si) == (7, 2)  # traces sorted by area: ED last, ES first
+    assert lf.shape == (32, 32, 1) and sf.shape == (32, 32, 1)
+    assert fname == "vid1.avi"
+    assert lt.shape == (32, 32, 1) and lt.sum() > 0
+    assert st.shape == (32, 32, 1)
+    # with a non-trace primary target the clip start falls back to the first
+    # traced (ES) frame, so clip[0] is the SmallFrame (the reference instead
+    # crashes on an unassigned `start` there, `echo.py:213-224`)
+    np.testing.assert_allclose(sf, clip[0])
+
+    ds_lt = Echo(echo_root, split="train", single_frame=False, length=4,
+                 target_type=["LargeTrace", "LargeFrame"])
+    clip_lt, (lt2, lf2), _, _ = ds_lt[1]
+    np.testing.assert_allclose(lf2, clip_lt[0])  # ED-pinned clip start
+
+    # single scalar target stays unwrapped like the reference (`:262-263`)
+    ds_ef = Echo(echo_root, split="train", single_frame=False,
+                 length=4, target_type="EF")
+    _, t, _, _ = ds_ef[0]
+    assert isinstance(t, np.float32) and t == 55.0
+
+    # target_transform applies to the gathered target (`:264-265`)
+    ds_tr = Echo(echo_root, split="train", single_frame=False, length=4,
+                 target_type="EF", target_transform=lambda x: x / 100.0)
+    _, t, _, _ = ds_tr[0]
+    assert abs(t - 0.55) < 1e-6
+
+
+def test_echo_clips(echo_root):
+    """clips=N stacks N windows; clips='all' enumerates every start at train
+    time (`reference/datasets/echo.py:210-212,267-272`)."""
+    from graphecho_tpu.data.echo import Echo
+
+    ds2 = Echo(echo_root, split="train", single_frame=False, length=4,
+               clips=2)
+    clips, _, _, _ = ds2[0]
+    assert clips.shape == (2, 4, 32, 32, 1)
+
+    ds_all = Echo(echo_root, split="train", single_frame=False, length=4,
+                  validation=False, clips="all")
+    clips, _, _, _ = ds_all[0]
+    # 12-frame video, length 4, period 1 -> 9 possible windows
+    assert clips.shape == (9, 4, 32, 32, 1)
+    # consecutive windows shift by one frame
+    np.testing.assert_allclose(clips[0, 1], clips[1, 0])
+
+
+def test_echo_external_test(echo_root):
+    """external_test split lists videos from external_test_location; scalar
+    targets are 0 and traces are unavailable (`echo.py:102-103,156-157,
+    257-258`)."""
+    import os
+
+    import pytest
+
+    from graphecho_tpu.data.echo import Echo
+
+    loc = os.path.join(echo_root, "external")
+    ds = Echo(echo_root, split="external_test", single_frame=False,
+              length=4, target_type="EF", external_test_location=loc)
+    assert len(ds) == 1 and ds.fnames == ["ext0.avi"]
+    with pytest.raises(ValueError, match="no traces"):
+        ds[0]  # trace-pinned clip start requires traces
+
+    ds_all = Echo(echo_root, split="external_test", single_frame=False,
+                  length=4, validation=False, clips="all", target_type="EF",
+                  external_test_location=loc)
+    clips, target, _, _ = ds_all[0]
+    assert clips.shape == (9, 4, 32, 32, 1)
+    assert target == np.float32(0)
+
+    with pytest.raises(ValueError, match="external_test_location"):
+        Echo(echo_root, split="external_test")
+
+
+def test_echo_normalized(echo_root):
+    from graphecho_tpu.data.echo import Echo
+
+    raw = Echo(echo_root, split="train", single_frame=False, length=4,
+               normalized=True, mean=0.0, std=1.0)
+    scaled = Echo(echo_root, split="train", single_frame=False, length=4)
+    c_raw, _, _, _ = raw[0]
+    c_scaled, _, _, _ = scaled[0]
+    np.testing.assert_allclose(c_raw, c_scaled * 255.0, rtol=1e-5)

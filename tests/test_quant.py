@@ -60,7 +60,7 @@ def test_int8_masks_agree_with_float(back_bone):
     calib = [data.train_batch()["imgs_source"] for _ in range(3)]
     qb = quantize_fpn_backbone(back_bone, variables, calib)
     # head vars and quantized weights are jit ARGUMENTS (not baked constants)
-    infer = jax.jit(make_quantized_infer(fpn, variables, qb))
+    infer = jax.jit(make_quantized_infer(fpn, qb))
     head_vars = {"params": variables["params"]}
 
     x = jnp.asarray(data.train_batch()["imgs_source"])
