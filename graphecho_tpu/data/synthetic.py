@@ -84,7 +84,8 @@ class SyntheticEchoData:
                 clips[i] = fr
                 if i < bc:
                     cmasks[i] = ms
-            batch["temp_imgs"] = clips
+            batch["temp_imgs_source"] = clips[:bc]
+            batch["temp_imgs_target"] = clips[bc:]
             batch["temp_masks"] = cmasks
             # momentum-queue labels must index queue columns: the reference
             # assumes dataset size <= K (`TGCN.py:245-251` CE over 2K logits)

@@ -59,9 +59,11 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     the global leading dim is local_dim * process_count. Entries that cannot
     shard are REJECTED rather than 'replicated' from differing per-host data
     (each host would silently hold different values for the same logical
-    array). The temporal/cyc branches carry such entries (`update_idx_*`)
-    and a per-host source+target concat whose halves don't compose into the
-    global layout — `real_training` gates them off multi-host."""
+    array). Every train-step entry is designed to compose: clip halves
+    travel as separate source/target keys (concatenated inside the jit) and
+    cyc frames are whole-clips-per-host (vmapped per clip) — see the
+    `train/steps.py` batch contract; `real_training._check_multihost`
+    pre-validates the (TEMPORAL_BATCH,) entries' divisibility."""
     n = mesh.shape["data"]
     multihost = jax.process_count() > 1
     out = {}

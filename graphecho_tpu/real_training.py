@@ -7,7 +7,8 @@ Mirrors the reference trainers' data plumbing (`train_camus_echo.py:155-177`,
     alongside (`train_camus_echo.py:162-165`);
   * temporal-graph clip loaders at batch 4 per domain
     (`train_camus_echo.py:96-100`, `train_cardiac_uda.py:107-112`), feeding
-    `temp_imgs/temp_masks` plus `update_idx_*` queue columns;
+    `temp_imgs_source/target` + `temp_masks` plus `update_idx_*` queue
+    columns;
   * the 64-frame cycle-consistency clip loader
     (`train_cardiac_uda.py:179-182`, consumed at `:245-253`);
   * per-epoch validation incl. the `Site_R_full` video test with
@@ -56,18 +57,26 @@ def _proc() -> Dict[str, int]:
 
 
 def _check_multihost(cfg: ExperimentConfig) -> None:
-    """Multi-host data parallelism covers the base UDA step. The temporal and
-    cycle branches build per-host [source; target] concatenated clip batches
-    plus sub-device-granularity `update_idx_*` entries — neither composes
-    into a consistent global array across hosts (see `parallel/mesh.py::
-    shard_batch`). Fail loud instead of training with silently-divergent
-    per-host state."""
-    if _proc()["process_count"] > 1 and (cfg.train.temporal_graph
-                                         or cfg.train.cyc_loss):
+    """Multi-host data parallelism covers EVERY branch: the temporal clip
+    halves travel as separate `temp_imgs_source`/`temp_imgs_target` keys
+    (concatenated inside the jitted step, so per-host row blocks compose into
+    the global source-first layout) and the cycle loss is vmapped per clip
+    (each host contributes one whole 64-frame clip). The one real constraint
+    is shardability of the (Bc,) clip-batch entries: the global clip batch
+    `TEMPORAL_BATCH * process_count` must divide over the mesh, i.e.
+    TEMPORAL_BATCH must be a multiple of the per-host device count. Validate
+    early with a readable error instead of shard_batch's generic rejection."""
+    import jax
+
+    if _proc()["process_count"] <= 1:
+        return
+    local = jax.local_device_count()
+    if cfg.train.temporal_graph and TEMPORAL_BATCH % local != 0:
         raise ValueError(
-            "multi-host training supports the base UDA branches only; run "
-            "--temporal-graph / --cyc-loss single-host (scale via per-host "
-            "batch and devices), or drop those flags for multi-host runs")
+            f"multi-host temporal training shards the (TEMPORAL_BATCH={TEMPORAL_BATCH},)"
+            f" clip batch over {local} local devices per host; "
+            "TEMPORAL_BATCH must be a multiple of the per-host device count "
+            "(raise the clip batch or use fewer devices per host)")
 
 
 def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
@@ -85,9 +94,11 @@ def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
             # jit retrace on tail batches) and the source/target halves match
             s_clip, s_masks, _, s_idx = next(temp_src_iter)
             t_clip, _, _, t_idx = next(temp_tgt_iter)
-            # concat source+target clips on the batch dim, source first
-            # (`train_camus_echo.py:246`)
-            batch["temp_imgs"] = np.concatenate([_f32(s_clip), _f32(t_clip)], 0)
+            # source and target clip halves stay SEPARATE keys; the jitted
+            # step concatenates them source-first (`train_camus_echo.py:246`)
+            # after global sharding, so the layout holds on any host count
+            batch["temp_imgs_source"] = _f32(s_clip)
+            batch["temp_imgs_target"] = _f32(t_clip)
             batch["temp_masks"] = _f32(s_masks)
             k_src = min(cfg.tgcn.queue_size, cfg.tgcn.source_class)
             k_tgt = min(cfg.tgcn.queue_size, cfg.tgcn.target_class)
@@ -96,7 +107,10 @@ def _batches(source_loader: DataLoader, cfg: ExperimentConfig,
             batch["update_idx_target"] = (
                 np.asarray(t_idx) % k_tgt).astype(np.int32)
         if t.cyc_loss:
-            clip = _f32(next(cyc_iter)[0])  # (1, T64, H, W, 1)
+            # (1, T64, H, W, 1) -> (T64, H, W, 1); under multi-host loading
+            # each host contributes one whole clip and the global array is
+            # n_hosts clips back-to-back — the step vmaps the loss per clip
+            clip = _f32(next(cyc_iter)[0])
             batch["cyc_imgs"] = clip.reshape(-1, *clip.shape[2:])
         yield batch
 

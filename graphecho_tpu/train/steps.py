@@ -76,9 +76,16 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
     batch keys (NHWC):
       imgs_source (B,H,W,1), masks (B,H,W,Cm)           — always
       imgs_target (Bt,H,W,1)                            — if graph_matching
-      temp_imgs (2Bc,T,H,W,1), temp_masks (Bc,T,H,W,Cm),
+      temp_imgs_source/target (Bc,T,H,W,1),
+      temp_masks (Bc,T,H,W,Cm),
       update_idx_source/target (Bc,)                    — if temporal_graph
-      cyc_imgs (T64,H,W,1)                              — if cyc_loss
+      cyc_imgs (n_clips*T64,H,W,1)                      — if cyc_loss
+
+    The source/target clip halves arrive as SEPARATE keys (concatenated
+    inside the step) so that multi-host global assembly — which interleaves
+    per-host row blocks — still yields [all source; all target]. Likewise
+    cyc_imgs may carry several whole clips back-to-back (one per host);
+    the cycle loss is vmapped per clip so frames never mix across clips.
     """
     t = cfg.train
     fpn = models["fpn"]
@@ -140,12 +147,22 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
                         (feats_s[i], feats_t[i]))
 
         if t.temporal_graph:
-            # one big FPN forward over (2Bc*T) frames (`train_camus_echo.py:246-254`)
-            ti = batch["temp_imgs"]
-            b2, tl = ti.shape[0], ti.shape[1]
+            # one big FPN forward over (2Bc*T) frames (`train_camus_echo.py:246-254`).
+            # Source/target clips concat INSIDE the jit: under multi-host
+            # sharding each key is a clean global array, and the concat gives
+            # the reference's source-first layout regardless of host count.
+            ts_clips = batch["temp_imgs_source"]
+            tt_clips = batch["temp_imgs_target"]
+            assert ts_clips.shape == tt_clips.shape, (
+                "temporal source/target clip batches must match "
+                f"({ts_clips.shape} vs {tt_clips.shape}): the TGCN splits "
+                "its batch at the midpoint")
+            bc, tl = ts_clips.shape[0], ts_clips.shape[1]
+            b2 = bc + tt_clips.shape[0]
+            ti = jnp.concatenate([ts_clips, tt_clips], axis=0)
             flat = ti.reshape(b2 * tl, *ti.shape[2:])
             preds_, feats_, bs = fpn_apply(flat, bs)
-            half = b2 * tl // 2
+            half = bc * tl
 
             tm = batch["temp_masks"].astype(jnp.float32)
             tm_flat = tm.reshape(half, *tm.shape[2:])
@@ -214,9 +231,16 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
                 mutable=["batch_stats"])
             bs = cyc_mut["batch_stats"]
             feat_out = jnp.sum(c5[-1], axis=(1, 2))
-            losses["cyc_loss"] = seg_cycle(
-                feat_out, k_cyc, cfg.cycle.target_region, cfg.cycle.cyc_off,
-                cfg.cycle.chunk_size, cfg.cycle.temperature)
+            # cyc_imgs may hold several whole clips back-to-back (one per
+            # host under multi-host loading); the loss is per clip — vmap so
+            # cross-frame matching never spans clip boundaries
+            n_clips = feat_out.shape[0] // cfg.cycle.clip_length
+            feat_clips = feat_out.reshape(n_clips, cfg.cycle.clip_length, -1)
+            cyc = jax.vmap(lambda f, k: seg_cycle(
+                f, k, cfg.cycle.target_region, cfg.cycle.cyc_off,
+                cfg.cycle.chunk_size, cfg.cycle.temperature))(
+                feat_clips, jax.random.split(k_cyc, n_clips))
+            losses["cyc_loss"] = jnp.mean(cyc)
 
         new_state_parts["net_batch_stats"] = bs
         total = sum(losses.values())

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import _multihost_common as C
 from _multihost_common import GLOBAL_BATCH, IndexedEchoSet, build_batch, make_cfg
 
 from graphecho_tpu.data.loader import DataLoader
@@ -39,24 +40,30 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_metrics():
-    cfg = make_cfg()
+def _single_process_metrics(mode: str = "base"):
     # the EXACT global layout `make_array_from_process_local_data` assembles:
-    # process 0's local shard fills devices 0-3, process 1's fills 4-7 — so
-    # the single-process reference batch is the concat of the two host
+    # process 0's local shard fills its device block, process 1's the next —
+    # so the single-process reference batch is the concat of the two host
     # shards. Identical global arrays -> losses must match to reduction-tree
     # noise (the sampler's evenly-spaced background selection is row-order
     # DEPENDENT, so comparing against a differently-ordered batch would
     # conflate real distribution bugs with legitimate selection differences).
-    shard0 = build_batch(process_index=0, process_count=2)
-    shard1 = build_batch(process_index=1, process_count=2)
-    batch = {k: np.concatenate([shard0[k], shard1[k]], axis=0)
-             for k in shard0}
+    if mode == "base":
+        cfg = make_cfg()
+        shards = [build_batch(process_index=r, process_count=2)
+                  for r in range(2)]
+        n_dev = None  # all 8 conftest devices, matching 2 hosts x 4
+    else:
+        cfg = C.make_full_cfg()
+        shards = [C.build_full_batch(process_index=r, process_count=2)
+                  for r in range(2)]
+        n_dev = 2 * C.FULL_DEVICES_PER_HOST
+    batch = C.assemble_global(shards)
     models = build_models(cfg)
     optimizers = Optimizers(cfg)
     state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
                                {k: jnp.asarray(v) for k, v in batch.items()})
-    mesh = create_mesh()
+    mesh = create_mesh(n_dev)
     state = replicate(mesh, state)
     sharded = shard_batch(mesh, batch)
     step = jax.jit(make_train_step(cfg, models, optimizers))
@@ -79,22 +86,23 @@ def test_loader_process_sharding_covers_global_batch():
     assert not set(rows[0]) & set(rows[1])
 
 
-def test_two_process_step_matches_single_process(tmp_path):
+def _run_two_process(tmp_path, mode: str, timeout: int):
     port = _free_port()
-    out = tmp_path / "rank0.json"
+    out = tmp_path / f"rank0_{mode}.json"
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # driver sets its own 4-device flags
+    env.pop("XLA_FLAGS", None)  # driver sets its own device-count flags
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, _DRIVER, str(rank), "2", str(port), str(out)],
+            [sys.executable, _DRIVER, str(rank), "2", str(port), str(out),
+             mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for rank in range(2)
     ]
     outputs = []
     try:
         for p in procs:
-            stdout, _ = p.communicate(timeout=900)
+            stdout, _ = p.communicate(timeout=timeout)
             outputs.append(stdout.decode(errors="replace"))
     finally:
         for p in procs:
@@ -103,9 +111,11 @@ def test_two_process_step_matches_single_process(tmp_path):
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"rank process failed:\n{text[-4000:]}"
     assert out.exists(), outputs[0][-2000:]
-    multi = json.loads(out.read_text())
+    return json.loads(out.read_text())
 
-    single = _single_process_metrics()
+
+def _assert_matches_single(multi, mode):
+    single = _single_process_metrics(mode)
     assert set(multi) == set(single)
     for k in single:
         # identical global arrays; only the cross-process reduction tree
@@ -113,3 +123,20 @@ def test_two_process_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             multi[k], single[k], rtol=1e-4, atol=1e-6,
             err_msg=f"multi-host vs single-process mismatch on {k}")
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    # generous: the two rank processes TIMESHARE this box's single core, so
+    # each XLA:CPU compile runs at half speed; 900 s proved borderline
+    multi = _run_two_process(tmp_path, "base", timeout=2400)
+    _assert_matches_single(multi, "base")
+
+
+def test_two_process_full_step_matches_single_process(tmp_path):
+    """Temporal + cycle branches multi-host (r2 VERDICT missing-item #3): the
+    separate source/target clip keys and per-host whole-clip cyc frames must
+    compose into the single-process global layout — loss-equal end to end."""
+    multi = _run_two_process(tmp_path, "full", timeout=1500)
+    for k in ("temporal_graph_loss", "cyc_loss", "seg_loss", "dis_loss"):
+        assert k in multi, sorted(multi)
+    _assert_matches_single(multi, "full")
