@@ -35,19 +35,27 @@ DN = ("NHWC", "HWIO", "NHWC")
 ITERS = 30
 
 
-def _chain_time(fn, x, iters: int = ITERS) -> float:
+def _chain_time(fn, x, iters: int = ITERS, direct: bool = False) -> float:
     """Median-of-3 chained-loop seconds/iter with a tail fetch.
 
     The op's output shape may differ from its input (conv Cin != Cout), so
-    the chain feeds back through a single-element tap added to the input —
-    a true data dependence (no cross-iteration elision) at negligible cost.
+    the chain feeds back a REDUCTION OF THE SQUARED output added to the
+    input. A plain 1-element slice tap is NOT safe: XLA's algebraic
+    simplifier sinks slices through dots/convs (slice-of-dot ->
+    dot-of-slices), eliding almost the whole op — measured >peak-FLOPs
+    anchors. A sum of y*y cannot be folded into the producing matmul/conv,
+    so every output element must be materialized; the extra elementwise
+    pass is small vs the op under test.
     """
 
     @jax.jit
     def loop(x):
         def body(i, t):
             y = fn(t)
-            tap = jax.lax.slice(y.reshape(-1), (0,), (1,))
+            if direct:  # same-shape op: output IS the next input
+                return y
+            yf = y.astype(jnp.float32)  # cast BEFORE squaring (int8 overflow)
+            tap = jnp.sum(yf * yf)
             return t + tap.astype(t.dtype)  # same shape as t
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x)
@@ -132,9 +140,9 @@ def main():
     def mm_bf(x):
         return (x @ abf).astype(jnp.bfloat16)
 
-    t = _chain_time(mm_i8, a8, 10)
+    t = _chain_time(mm_i8, a8, 10, direct=True)
     print(f"anchor int8 8192^3 GEMM : {t * 1e3:7.2f} ms  {_rate(mm_flops, t)}")
-    t = _chain_time(mm_bf, abf, 10)
+    t = _chain_time(mm_bf, abf, 10, direct=True)
     print(f"anchor bf16 8192^3 GEMM : {t * 1e3:7.2f} ms  {_rate(mm_flops, t)}")
 
     # ---- conv shapes from the bench model (ResNet-FPN 112^2, B=256) ------
