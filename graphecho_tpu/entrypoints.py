@@ -22,11 +22,12 @@ from graphecho_tpu.train.trainer import Trainer
 
 def _run(cfg: ExperimentConfig, steps_per_epoch: int, num_epochs: Optional[int],
          checkpoint_dir: Optional[str], log_path: Optional[str],
-         use_mesh: bool, seed: int, n_eval: int) -> Trainer:
+         use_mesh: bool, seed: int, n_eval: int,
+         torch_init: Optional[str] = None) -> Trainer:
     trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch, use_mesh=use_mesh,
                       log_path=log_path, checkpoint_dir=checkpoint_dir)
     data = SyntheticEchoData(cfg, seed=seed)
-    trainer.init_state(data.train_batch())
+    trainer.init_state(data.train_batch(), torch_init=torch_init)
 
     def batches():
         for _ in range(steps_per_epoch):
@@ -41,18 +42,20 @@ def _run(cfg: ExperimentConfig, steps_per_epoch: int, num_epochs: Optional[int],
 def train_camus_echo(num_epochs: Optional[int] = 1, steps_per_epoch: int = 4,
                      checkpoint_dir: Optional[str] = None,
                      log_path: Optional[str] = None, use_mesh: bool = False,
-                     seed: int = 123, n_eval: int = 4, **cfg_overrides) -> Trainer:
+                     seed: int = 123, n_eval: int = 4,
+                     torch_init: Optional[str] = None, **cfg_overrides) -> Trainer:
     """CAMUS→EchoNet UDA (reference `train_camus_echo.py:546-637` defaults)."""
     cfg = camus_echo_config(**cfg_overrides)
     return _run(cfg, steps_per_epoch, num_epochs, checkpoint_dir, log_path,
-                use_mesh, seed, n_eval)
+                use_mesh, seed, n_eval, torch_init=torch_init)
 
 
 def train_cardiac_uda(num_epochs: Optional[int] = 1, steps_per_epoch: int = 4,
                       checkpoint_dir: Optional[str] = None,
                       log_path: Optional[str] = None, use_mesh: bool = False,
-                      seed: int = 123, n_eval: int = 4, **cfg_overrides) -> Trainer:
+                      seed: int = 123, n_eval: int = 4,
+                      torch_init: Optional[str] = None, **cfg_overrides) -> Trainer:
     """CardiacUDA Site_G→Site_R (reference `train_cardiac_uda.py:645-736`)."""
     cfg = cardiac_uda_config(**cfg_overrides)
     return _run(cfg, steps_per_epoch, num_epochs, checkpoint_dir, log_path,
-                use_mesh, seed, n_eval)
+                use_mesh, seed, n_eval, torch_init=torch_init)

@@ -87,9 +87,13 @@ class Bottleneck(nn.Module):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                        epsilon=1e-5, dtype=self.dtype,
                                        axis_name=self.bn_axis_name, name=name)
+        # explicit torch-style symmetric padding (k//2 each side): XLA's
+        # "SAME" at stride 2 pads (0, 1) — a half-pixel-shifted sampling grid
+        # vs the reference's `padding=1` (`fpnseg.py:186-189`). Identical for
+        # the stride-1 convs; the stage-entry stride-2 conv2 needs this.
         conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), (s, s), padding="SAME", use_bias=False, dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(), name=name)
+            f, (k, k), (s, s), padding=[(k // 2, k // 2)] * 2, use_bias=False,
+            dtype=self.dtype, kernel_init=nn.initializers.he_normal(), name=name)
 
         identity = x
         out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))

@@ -357,11 +357,14 @@ class Stem(nn.Module):
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=self.dtype,
                                        axis_name=self.bn_axis_name, name=name)
+        # explicit (1,1) padding: XLA "SAME" at stride 2 pads (0,1), a shifted
+        # sampling grid vs the reference's `padding=1` (`vig.py:553-566`)
+        pad1 = [(1, 1), (1, 1)]
         x = _act(self.act)(bn("bn1")(nn.Conv(self.out_dim // 2, (3, 3), (2, 2),
-                                             padding="SAME", dtype=self.dtype,
+                                             padding=pad1, dtype=self.dtype,
                                              name="conv1")(x)))
         x = _act(self.act)(bn("bn2")(nn.Conv(self.out_dim, (3, 3), (2, 2),
-                                             padding="SAME", dtype=self.dtype,
+                                             padding=pad1, dtype=self.dtype,
                                              name="conv2")(x)))
         return bn("bn3")(nn.Conv(self.out_dim, (3, 3), padding="SAME",
                                  dtype=self.dtype, name="conv3")(x))
@@ -376,7 +379,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_dim, (3, 3), (2, 2), padding="SAME",
+        # explicit (1,1): torch `padding=1` semantics at stride 2 (`vig.py:577`)
+        x = nn.Conv(self.out_dim, (3, 3), (2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype,

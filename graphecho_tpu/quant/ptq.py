@@ -262,8 +262,11 @@ def quantize_fpn_backbone(back_bone: str, variables: Dict,
                 bname = f"layer{stage_idx + 1}_block{block_idx}"
                 bp, bst = params[bname], stats[bname]
                 layers[f"{bname}/conv1"] = _fold_quant(bp, bst, "conv1", "bn1")
+                # explicit (1,1): torch `padding=1` semantics — at stride 2
+                # XLA "SAME" would pad (0,1) (see models/backbones.py)
                 layers[f"{bname}/conv2"] = _fold_quant(
-                    bp, bst, "conv2", "bn2", strides=(s, s))
+                    bp, bst, "conv2", "bn2", strides=(s, s),
+                    padding=[(1, 1), (1, 1)])
                 layers[f"{bname}/conv3"] = _fold_quant(bp, bst, "conv3", "bn3")
                 if down:
                     layers[f"{bname}/conv_down"] = _fold_quant(

@@ -183,7 +183,8 @@ def run_camus_echo(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                         temp_src_iter=temp_src_iter,
                         temp_tgt_iter=temp_tgt_iter)
 
-    trainer.init_state(next(batches()))
+    trainer.init_state(next(batches()),
+                       torch_init=getattr(args, "pretrained_backbone", None))
     trainer.train(
         batches,
         num_epochs=args.epochs,
@@ -293,7 +294,8 @@ def run_cardiac_uda(args, cfg: Optional[ExperimentConfig] = None) -> Trainer:
                         temp_src_iter=temp_src_iter,
                         temp_tgt_iter=temp_tgt_iter, cyc_iter=cyc_iter)
 
-    trainer.init_state(next(batches()))
+    trainer.init_state(next(batches()),
+                       torch_init=getattr(args, "pretrained_backbone", None))
     trainer.train(
         batches,
         num_epochs=args.epochs,

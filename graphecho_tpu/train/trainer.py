@@ -88,19 +88,29 @@ class Trainer:
 
     # ------------------------------------------------------------------ setup
     def init_state(self, sample_batch: Dict[str, Any],
-                   seed: Optional[int] = None) -> TrainState:
+                   seed: Optional[int] = None,
+                   torch_init: Optional[str] = None) -> TrainState:
+        """torch_init: optional torch .pth — torchvision zoo ResNet weights or
+        a reference GraphEcho checkpoint — imported into the FPN (the
+        reference's `pretrained` knob, `fpnseg.py:279-287`). An orbax resume
+        takes precedence (a restored run already contains trained weights)."""
         rng = jax.random.PRNGKey(self.cfg.train.seed if seed is None else seed)
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         state = create_train_state(self.cfg, self.models, self.optimizers,
                                    rng, batch)
+        restored = self.ckpt.restore(state) if self.ckpt is not None else None
+        if restored is not None:
+            self.logger.info("resumed from checkpoint step %s",
+                             int(restored.step))
+            state = restored
+        elif torch_init:
+            from graphecho_tpu.utils.torch_import import load_reference_checkpoint
+
+            state, skipped = load_reference_checkpoint(state, torch_init)
+            self.logger.info("FPN initialized from torch checkpoint %s "
+                             "(%d keys skipped)", torch_init, len(skipped))
         if self.mesh is not None:
             state = replicate(self.mesh, state)
-        if self.ckpt is not None:
-            restored = self.ckpt.restore(state)
-            if restored is not None:
-                self.logger.info("resumed from checkpoint step %s",
-                                 int(restored.step))
-                state = restored
         self.state = state
         return state
 

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-mesh", action="store_true",
                    help="data-parallel over all local devices")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="torch .pth to initialize the FPN from: torchvision "
+                        "zoo ResNet weights or a reference GraphEcho "
+                        "checkpoint (the reference's `pretrained` knob)")
     p.add_argument("--no-graph-matching", action="store_true")
     p.add_argument("--no-discriminator", action="store_true")
     p.add_argument("--temporal-graph", action="store_true")
@@ -61,7 +65,8 @@ def main(argv=None) -> None:
             view_num=args.view_num,
             graph_matching=not args.no_graph_matching,
             discriminator=not args.no_discriminator,
-            temporal_graph=args.temporal_graph)
+            temporal_graph=args.temporal_graph,
+            torch_init=args.pretrained_backbone)
 
 
 if __name__ == "__main__":

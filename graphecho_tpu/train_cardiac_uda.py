@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default=None)
     p.add_argument("--use-mesh", action="store_true")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="torch .pth to initialize the FPN from (torchvision "
+                        "zoo or a reference GraphEcho checkpoint)")
     p.add_argument("--no-graph-matching", action="store_true")
     p.add_argument("--no-discriminator", action="store_true")
     p.add_argument("--temporal-graph", action="store_true")
@@ -59,7 +62,8 @@ def main(argv=None) -> None:
             seed=args.seed, view_num=args.view_num,
             graph_matching=not args.no_graph_matching,
             discriminator=not args.no_discriminator,
-            temporal_graph=args.temporal_graph, cyc_loss=args.cyc_loss)
+            temporal_graph=args.temporal_graph, cyc_loss=args.cyc_loss,
+            torch_init=args.pretrained_backbone)
 
 
 if __name__ == "__main__":

@@ -320,3 +320,237 @@ def test_gmodule_forward_train_composed_parity():
     # the grouped nodes the step hands to the TGCN match too
     np.testing.assert_allclose(np.asarray(g1.nodes), n1.numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(g2.nodes), n2.numpy(), atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# ResNet-path parity: the reference trainers' default backbone
+# (`train_camus_echo.py:60-61` builds FPN(back_bone='resnet')). The torch
+# model below re-states the reference ResNet (`fpnseg.py:177-306`, stage
+# sizes [3,4,5,3] — the ResNet50 quirk) with torchvision-style parameter
+# naming, which doubles as the fixture for the pretrained-weight importer
+# (`utils/torch_import.py`). Locks the stride-2 conv padding semantics:
+# torch pads (1,1) where XLA "SAME" would pad (0,1).
+# --------------------------------------------------------------------------
+
+RESNET_LAYERS = (3, 4, 5, 3)
+
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, in_planes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_planes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class TorchResNet(tnn.Module):
+    """Reference ResNet (`fpnseg.py:214-287`), torchvision-style names."""
+
+    def __init__(self, layers=RESNET_LAYERS, in_ch=1):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        for i, (planes, blocks) in enumerate(zip((64, 128, 256, 512), layers)):
+            setattr(self, f"layer{i + 1}",
+                    self._make_layer(planes, blocks, 1 if i == 0 else 2))
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+        layers = [TorchBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            layers.append(TorchBottleneck(self.inplanes, planes))
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        feats = [x]
+        for i in range(4):
+            x = getattr(self, f"layer{i + 1}")(x)
+            feats.append(x)
+        return feats
+
+
+def _copy_resnet_from_flax(tm: TorchResNet, bb_p, bb_s):
+    _copy_conv(tm.conv1, bb_p["conv1"])
+    _copy_bn(tm.bn1, bb_p["bn1"], bb_s["bn1"])
+    for si, blocks in enumerate(RESNET_LAYERS):
+        for bi in range(blocks):
+            name = f"layer{si + 1}_block{bi}"
+            tb = getattr(tm, f"layer{si + 1}")[bi]
+            for ci in (1, 2, 3):
+                _copy_conv(getattr(tb, f"conv{ci}"), bb_p[name][f"conv{ci}"])
+                _copy_bn(getattr(tb, f"bn{ci}"), bb_p[name][f"bn{ci}"],
+                         bb_s[name][f"bn{ci}"])
+            if tb.downsample is not None:
+                _copy_conv(tb.downsample[0], bb_p[name]["conv_down"])
+                _copy_bn(tb.downsample[1], bb_p[name]["bn_down"],
+                         bb_s[name]["bn_down"])
+
+
+def test_fpn_resnet_full_forward_parity():
+    model = FPN(num_classes=1, back_bone="resnet")
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 64, 64, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    logits_j, feats_j = model.apply(variables, jnp.asarray(x), train=False)
+
+    tm = TorchVGGFPN(num_classes=1)  # reuse the head; swap the backbone
+    tm.toplayer = tnn.Conv2d(2048, 256, 1)
+    tm.latlayer1 = tnn.Conv2d(1024, 256, 1)
+    tm.latlayer2 = tnn.Conv2d(512, 256, 1)
+    tm.latlayer3 = tnn.Conv2d(256, 256, 1)
+    backbone = TorchResNet()
+    tm.eval()
+    backbone.eval()
+
+    p, bs = variables["params"], variables["batch_stats"]
+    _copy_resnet_from_flax(backbone, p["backbone"], bs["backbone"])
+    for name in ("toplayer", "latlayer1", "latlayer2", "latlayer3", "smooth1",
+                 "smooth2", "smooth3", "semantic_branch", "conv2", "conv3"):
+        _copy_conv(getattr(tm, name), p[name])
+    _copy_gn(tm.gn1, p["gn1"])
+    _copy_gn(tm.gn2, p["gn2"])
+
+    with torch.no_grad():
+        feats_t = backbone(torch.from_numpy(x).permute(0, 3, 1, 2))
+        _, c2, c3, c4, c5 = feats_t
+        p5 = tm.toplayer(c5)
+        p4 = tm._up(p5, *c4.shape[-2:]) + tm.latlayer1(c4)
+        p3 = tm._up(p4, *c3.shape[-2:]) + tm.latlayer2(c3)
+        p2 = tm._up(p3, *c2.shape[-2:]) + tm.latlayer3(c2)
+        feats_ref = [p2, p3, p4, p5]
+        p4s, p3s, p2s = tm.smooth1(p4), tm.smooth2(p3), tm.smooth3(p2)
+        h, w = p2s.shape[-2:]
+        s5 = tm._up(F.relu(tm.gn2(tm.conv2(p5))), h, w)
+        s5 = tm._up(F.relu(tm.gn2(tm.conv2(s5))), h, w)
+        s5 = tm._up(F.relu(tm.gn1(tm.semantic_branch(s5))), h, w)
+        s4 = tm._up(F.relu(tm.gn2(tm.conv2(p4s))), h, w)
+        s4 = tm._up(F.relu(tm.gn1(tm.semantic_branch(s4))), h, w)
+        s3 = tm._up(F.relu(tm.gn1(tm.semantic_branch(p3s))), h, w)
+        s2 = F.relu(tm.gn1(tm.semantic_branch(p2s)))
+        logits_t = tm._up(tm.conv3(s2 + s3 + s4 + s5), 4 * h, 4 * w)
+
+    np.testing.assert_allclose(np.asarray(logits_j),
+                               logits_t.permute(0, 2, 3, 1).numpy(), atol=2e-3)
+    for fj, ft in zip(feats_j, feats_ref):
+        np.testing.assert_allclose(np.asarray(fj),
+                                   ft.permute(0, 2, 3, 1).numpy(), atol=2e-3)
+
+
+def test_resnet_torch_import_roundtrip():
+    """Pretrained-weight import (`utils/torch_import.py`): a random
+    torchvision-format state_dict loaded into the flax backbone must
+    reproduce the torch forward; RGB stems collapse to grey by channel-sum;
+    fc/classifier keys are skipped."""
+    from graphecho_tpu.models.backbones import ResNet50
+    from graphecho_tpu.utils.torch_import import resnet_params_from_torch
+
+    tm = TorchResNet(in_ch=3).eval()
+    rng = np.random.RandomState(7)
+    for q in tm.parameters():
+        q.data = torch.from_numpy(
+            rng.uniform(-0.1, 0.1, q.shape).astype(np.float32))
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            mod.running_mean.data = torch.from_numpy(
+                rng.uniform(-0.1, 0.1, mod.running_mean.shape).astype(np.float32))
+            mod.running_var.data = torch.from_numpy(
+                rng.uniform(0.5, 1.5, mod.running_var.shape).astype(np.float32))
+
+    model = ResNet50()
+    x_grey = rng.rand(1, 64, 64, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_grey))
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)  # zoo head, skipped
+    params, stats, skipped = resnet_params_from_torch(
+        sd, variables["params"], variables["batch_stats"])
+    assert "fc.weight" in skipped
+    assert not [k for k in skipped if k.startswith(("conv1", "bn1", "layer"))]
+
+    feats_j = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(x_grey), train=False)
+    # grey input replicated to RGB == channel-summed grey stem
+    with torch.no_grad():
+        feats_t = tm(torch.from_numpy(x_grey).permute(0, 3, 1, 2)
+                     .repeat(1, 3, 1, 1))
+    for fj, ft in zip(feats_j, feats_t):
+        np.testing.assert_allclose(np.asarray(fj),
+                                   ft.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_reference_checkpoint_fpn_import(tmp_path):
+    """`load_reference_checkpoint`: a reference-format `torch.save({'network':
+    state_dict})` with DDP `module.` prefixes and `back_bone.block_{b}.{pos}`
+    VGG naming (`train_camus_echo.py:475-488`) loads into a TrainState whose
+    FPN then reproduces the torch forward."""
+    from graphecho_tpu.config import (DataConfig, ExperimentConfig,
+                                      ModelConfig, TrainConfig)
+    from graphecho_tpu.train.state import Optimizers, create_train_state
+    from graphecho_tpu.train.steps import build_models
+    from graphecho_tpu.utils.torch_import import load_reference_checkpoint
+
+    tm = TorchVGGFPN(num_classes=2).eval()
+    rng = np.random.RandomState(5)
+    for q in tm.parameters():
+        q.data = torch.from_numpy(
+            rng.uniform(-0.05, 0.05, q.shape).astype(np.float32))
+    for mod in tm.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            mod.running_var.data = torch.from_numpy(
+                rng.uniform(0.5, 1.5, mod.running_var.shape).astype(np.float32))
+
+    # re-key to the reference layout: blocks.{i}.{pos}.* lives under
+    # back_bone.block_{i+1}.{pos}.*; head modules keep their names
+    sd = {}
+    for k, v in tm.state_dict().items():
+        if k.startswith("blocks."):
+            _, bi, rest = k.split(".", 2)
+            k = f"back_bone.block_{int(bi) + 1}.{rest}"
+        sd["module." + k] = v
+    path = str(tmp_path / "net_00042.pth")
+    torch.save({"network": sd}, path)
+
+    cfg = ExperimentConfig(
+        train=TrainConfig(graph_matching=False, discriminator=False),
+        data=DataConfig(img_crop=(64, 64), batch_size=2, target_batch_mult=1),
+        model=ModelConfig(backbone="VGG16", in_channels=1, num_classes=2))
+    models = build_models(cfg)
+    x = rng.rand(2, 64, 64, 1).astype(np.float32)
+    batch = {"imgs_source": jnp.asarray(x),
+             "masks": jnp.zeros((2, 64, 64, 2), jnp.float32)}
+    state = create_train_state(cfg, models, Optimizers(cfg),
+                               jax.random.PRNGKey(0), batch)
+    state, skipped = load_reference_checkpoint(state, path)
+    assert not skipped, skipped[:5]
+
+    logits_j, _ = models["fpn"].apply(
+        {"params": state.net_params, "batch_stats": state.net_batch_stats},
+        jnp.asarray(x), train=False)
+    with torch.no_grad():
+        logits_t, _ = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    # backbone/pyramid features import bit-exactly; 2e-3 covers fp
+    # accumulation through the GroupNorm-heavy semantic head
+    np.testing.assert_allclose(np.asarray(logits_j),
+                               logits_t.permute(0, 2, 3, 1).numpy(), atol=2e-3)
