@@ -166,8 +166,11 @@ class TGCN(nn.Module):
                        variable_carry="batch_stats",
                        split_rngs={"params": False, "dropout": True},
                        in_axes=0, out_axes=0)
+        # carry dtype must equal the cell's OUTPUT dtype (mr_conv computes in
+        # self.dtype), not the input clips' dtype: under bf16 compute with f32
+        # inputs the lax.scan carry would otherwise mismatch (f32 in, bf16 out)
         hidden0 = jnp.zeros((b, gh * gw, cfg.hidden_dim),
-                            pyramid_clips[0].dtype)
+                            self.dtype or pyramid_clips[0].dtype)
         if self.is_initializing():
             # carried collections must exist BEFORE the scan: prime the
             # cell's params/batch_stats with one unscanned application

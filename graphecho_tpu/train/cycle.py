@@ -26,6 +26,12 @@ def seg_cycle(feat_out: jnp.ndarray, rng: jax.Array, target_region: int = 16,
     BCE cycle loss. Constants match the reference call site
     (`train_cardiac_uda.py:251`)."""
     feat_dim = feat_out.shape[1]
+    # fail loud at trace time: a clip shorter than target_region + one key
+    # window leaves the key half empty and the loss silently NaNs (empty
+    # softmax). The reference geometry is 64-frame clips, target_region=16.
+    assert feat_out.shape[0] >= target_region + chunk_size + cyc_off, (
+        f"seg_cycle needs clip_length >= target_region + chunk_size + cyc_off "
+        f"({target_region}+{chunk_size}+{cyc_off}), got T={feat_out.shape[0]}")
     fq = feat_out[:target_region]
     fq_cyc = feat_out[cyc_off:target_region]
     fk = feat_out[target_region:]

@@ -140,6 +140,28 @@ def test_train_step_temporal_graph():
                            np.asarray(state.queue_source))
 
 
+def test_train_step_bf16_every_branch():
+    """compute_dtype='bfloat16' (the measured TPU fast path, BENCHMARKS.md)
+    through EVERY branch — graph matching + discriminators + temporal + cycle.
+    Regression: the bf16 path had no CPU coverage and the TGCN nn.scan carry
+    dtype mismatch shipped unseen (only --bf16 TPU recipes crashed)."""
+    cfg = tiny_config(graph_matching=True, discriminator=True,
+                      temporal_graph=True, cyc_loss=True)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, img_crop=(128, 128)),
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        tgcn=dataclasses.replace(cfg.tgcn, clip_shape=(2, 4, 4),
+                                 pool_ratios=(8, 4, 2, 1)),
+        cycle=dataclasses.replace(cfg.cycle, clip_length=24))
+    models, optimizers, data, batch, state = _setup(cfg)
+    step = jax.jit(make_train_step(cfg, models, optimizers))
+    new_state, metrics = step(state, batch)
+    for k in ("seg_loss", "temporal_graph_loss", "cyc_loss", "total_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+
+
 def test_train_step_cycle_loss():
     cfg = tiny_config(graph_matching=False, discriminator=False, cyc_loss=True)
     cfg = dataclasses.replace(

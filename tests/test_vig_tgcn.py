@@ -181,6 +181,32 @@ def test_tgcn_end_to_end():
     assert dq[1] == 0 and dq[19] == 0
 
 
+def test_tgcn_bf16_compute_f32_inputs():
+    """Regression: under dtype=bfloat16 the lax.scan recurrence carry must be
+    initialized in the CELL's output dtype, not the (f32) input clips' dtype —
+    the mismatch broke every bf16 temporal recipe (scan carry type error)."""
+    cfg = TGCNConfig(input_dim=16, hidden_dim=16, clip_shape=(2, 4, 4),
+                     knn_k=3, cluster_method="momentum_queue", queue_size=5,
+                     pool_ratios=(4, 2, 1, 1))
+    rng = np.random.RandomState(6)
+    clips = [jnp.asarray(rng.randn(2, 2, s, s, 16).astype(np.float32))
+             for s in (16, 8, 4, 4)]
+    nodes = jnp.asarray(rng.randn(10, 16).astype(np.float32))
+    valid = jnp.ones(10, bool)
+    queues = (jnp.zeros((16, 5)), jnp.zeros((16, 5)))
+    idx = (jnp.asarray([0]), jnp.asarray([1]))
+    model = TGCN(cfg, dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           clips, nodes, valid, nodes, valid, queues, idx)
+    (losses, _), _ = model.apply(
+        variables, clips, nodes, valid, nodes, valid, queues, idx,
+        train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_tgcn_sinkhorn_transport():
     cfg = TGCNConfig(input_dim=16, hidden_dim=16, clip_shape=(2, 4, 4),
                      knn_k=3, cluster_method=None,
