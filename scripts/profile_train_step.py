@@ -134,6 +134,21 @@ def main():
           f"{variants['full']:.1f} ms "
           f"({2 * b / variants['full'] * 1e3:.0f} imgs/s)", flush=True)
 
+    if args.recipe == "cardiac_full" and args.batch is None:
+        # branch ablations: where do the milliseconds go?
+        cfg_nc = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, cyc_loss=False))
+        step_nc, state_nc, batch_nc = _setup(cfg_nc)
+        variants["no_cycle"] = time_step(step_nc, state_nc, batch_nc, args.iters)
+        print(f"no_cycle: {variants['no_cycle']:.1f} ms", flush=True)
+
+        cfg_mo = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, cyc_loss=False,
+                                           temporal_graph=False))
+        step_mo, state_mo, batch_mo = _setup(cfg_mo)
+        variants["main_only"] = time_step(step_mo, state_mo, batch_mo, args.iters)
+        print(f"main_only: {variants['main_only']:.1f} ms", flush=True)
+
     if args.recipe == "cardiac" and args.batch is None:
         cfg2 = dataclasses.replace(
             cfg, gmodule=dataclasses.replace(cfg.gmodule,
