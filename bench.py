@@ -61,7 +61,12 @@ def main():
         cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
     fpn = build_models(cfg)["fpn"]
 
-    batch = 256  # frames per device step (video frames flattened into batch)
+    # Frames per device step (video frames flattened into batch). 128 is the
+    # measured throughput peak on v5e — per-frame conv time degrades above it
+    # (HBM pressure) and per-dispatch tunnel overhead dominates below it:
+    # 64→15.8k, 96→20.7k, 128→24.2k, 192→22.8k, 256→22.3k, 512→21.5k fps
+    # (scripts/bench_sweep.py, isolated per-process runs).
+    batch = 128
     x = jnp.asarray(np.random.RandomState(0).rand(batch, 112, 112, 1),
                     jnp.float32)
     variables = fpn.init(jax.random.PRNGKey(0), x)
@@ -83,7 +88,7 @@ def main():
     np.asarray(carry)
 
     trials = []
-    iters = 40
+    iters = 80
     for _ in range(5):
         carry = x
         t0 = time.perf_counter()
