@@ -51,12 +51,19 @@ class ModelConfig:
     """FPN segmenter (reference `models/fpnseg.py:309-444`)."""
 
     backbone: str = "resnet"  # 'resnet' | 'VGG16'
+    # INFORMATIONAL: input channel count for documentation/CLI display; flax
+    # infers the conv input width from the data, so this is never traced.
     in_channels: int = 1
     num_classes: int = 1  # segmentation output channels
     fpn_channels: int = 256
     semantic_channels: int = 128
     # dtype used for conv compute; params stay float32.
     compute_dtype: str = "float32"
+    # VGG (width, n_convs) per-block override; None → reference VGG16 layout
+    # ((64,2),(128,2),(256,3),(512,3),(512,3)). The driver's dryrun_multichip
+    # shrinks this to keep 1-core XLA:CPU compiles of the fused step inside
+    # the driver budget while keeping the identical code path.
+    vgg_spec: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,8 +78,13 @@ class NodeSamplerConfig:
     pos_budget_per_level: int = 100
     # Reference: bg count = num_pos // bg_ratio (`graph_matching.py:1001`).
     bg_ratio: int = 8
-    class_threshold: float = 0.5  # target pseudo-label threshold (`:1026`)
-    bg_threshold: float = 0.05  # target background threshold (`:1027`)
+    # Target pseudo-label threshold (`graph_matching.py:1026`); consumed by
+    # the train step's target score-map/box thresholding (train/steps.py).
+    class_threshold: float = 0.5
+    # INFORMATIONAL (parity only): background threshold of the reference's
+    # act-map sampler branch (`:1027`), which is verified dead upstream and
+    # consciously omitted here (see ops/sampling.py). Never read.
+    bg_threshold: float = 0.05
     fpn_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)  # (`:611`)
     # FCOS size-of-interest ranges per level (`graph_matching.py:875-881`).
     sizes_of_interest: Tuple[Tuple[float, float], ...] = (

@@ -52,16 +52,23 @@ def _max_pool(x, window, strides, padding="VALID"):
 
 class VGG16(nn.Module):
     """5-block VGG16-BN encoder; returns the 5 post-pool feature levels at
-    strides 2/4/8/16/32 (`fpnseg.py:154-166`)."""
+    strides 2/4/8/16/32 (`fpnseg.py:154-166`).
+
+    `block_spec` overrides the (width, n_convs) per block — same topology,
+    shrunken — used by the driver's `dryrun_multichip` to keep XLA:CPU compile
+    of the fused full step inside the driver budget on 1-core hosts while
+    exercising the identical code path. None → the reference layout."""
 
     in_channels: int = 1  # informational; flax infers from input
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
+    block_spec: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
-        widths = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        widths = self.block_spec or ((64, 2), (128, 2), (256, 3), (512, 3),
+                                     (512, 3))
         for block_idx, (width, n_convs) in enumerate(widths):
             for conv_idx in range(n_convs):
                 x = ConvBNRelu(width, dtype=self.dtype,

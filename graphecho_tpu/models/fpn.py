@@ -37,12 +37,15 @@ class FPN(nn.Module):
     semantic_channels: int = 128
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
+    # VGG (width, n_convs) per-block override — see VGG16.block_spec.
+    vgg_spec: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def setup(self):
         if self.back_bone == "resnet":
             self.backbone = ResNet50(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         elif self.back_bone == "VGG16":
-            self.backbone = VGG16(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+            self.backbone = VGG16(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                                  block_spec=self.vgg_spec)
         else:
             raise ValueError(f"unknown backbone {self.back_bone!r}")
 

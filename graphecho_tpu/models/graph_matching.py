@@ -53,8 +53,14 @@ _NEG_INF = -1e9
 class GRAPHHead(nn.Module):
     """Conv tower projecting feature maps before node sampling — the
     reference's `head_in_cfg != 'LN'` vision-to-graph path
-    (`graph_matching.py:48-98`). Provided for config completeness; the shipped
-    configuration uses the LN node-embedding head inside GModule."""
+    (`graph_matching.py:48-98`). Selected via `GModuleConfig.head_in_cfg` in
+    ('GN', 'IN'); the shipped configuration ('LN') instead uses the LN
+    node-embedding head inside GModule. NOTE: upstream this path is dead AND
+    its constructor call is broken (`graph_matching.py:146` passes
+    `in_channels` where the signature expects `cfg`), so the wiring here is
+    config-completeness beyond the reference. 'IN' = per-channel spatial norm
+    (GroupNorm with one channel per group ≡ affine-free InstanceNorm2d);
+    'BN' is rejected (needs running stats the dead path never defined)."""
 
     num_convs: int = 2
     channels: int = 256
@@ -68,8 +74,10 @@ class GRAPHHead(nn.Module):
                          kernel_init=nn.initializers.normal(0.01),
                          bias_init=nn.initializers.zeros, name=f"conv_{i}")
                  for i in range(self.num_convs)]
-        norms = [nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"gn_{i}")
-                 if self.norm == "GN" else None
+        n_groups = {"GN": 32, "IN": self.channels}.get(self.norm)
+        norms = [nn.GroupNorm(num_groups=n_groups, dtype=self.dtype,
+                              name=f"gn_{i}")
+                 if n_groups is not None else None
                  for i in range(self.num_convs)]
         for feat in features:
             x = feat
@@ -150,11 +158,25 @@ class GModule(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, use_bias=False,
                                        use_scale=False, dtype=self.dtype,
                                        name=name)
-        # head_in_ln (`graph_matching.py:148-154`)
-        self.head_in_1 = dense(c, "head_in_1")
-        self.head_in_ln1 = ln("head_in_ln1")
-        self.head_in_2 = dense(c, "head_in_2")
-        self.head_in_ln2 = ln("head_in_ln2")
+        # vision-to-graph projection, selected by head_in_cfg
+        # (`graph_matching.py:144-155`): 'LN' → Linear-LN-ReLU-Linear-LN on
+        # the SAMPLED nodes; 'GN'/'IN' → GRAPHHead conv tower on the feature
+        # MAPS before sampling (`:274-276`, via project_features()).
+        if self.cfg.head_in_cfg == "LN":
+            self.head_in_1 = dense(c, "head_in_1")
+            self.head_in_ln1 = ln("head_in_ln1")
+            self.head_in_2 = dense(c, "head_in_2")
+            self.head_in_ln2 = ln("head_in_ln2")
+        elif self.cfg.head_in_cfg in ("GN", "IN"):
+            self.graph_head = GRAPHHead(num_convs=2, channels=c,
+                                        norm=self.cfg.head_in_cfg,
+                                        dtype=self.dtype, name="graph_head")
+        else:
+            raise ValueError(
+                f"head_in_cfg={self.cfg.head_in_cfg!r} not supported: 'LN' "
+                "(reference-shipped), 'GN' or 'IN' (GRAPHHead tower; dead "
+                "upstream — see GRAPHHead docstring). 'BN' is rejected: the "
+                "dead reference path never defined its running-stat handling")
         # node classifier (`:158-162`)
         self.node_cls_1 = dense(2 * c, "node_cls_1")
         self.node_cls_2 = dense(self.cfg.num_classes, "node_cls_2")
@@ -191,8 +213,22 @@ class GModule(nn.Module):
         return self.cfg.weight_dis * bce_with_logits(logits, target, weight=w)
 
     def _head_in(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.head_in_cfg != "LN":
+            # maps were already projected by project_features() upstream; the
+            # reference likewise skips the LN node projection in this mode
+            # (`graph_matching.py:274-285`)
+            return x
         x = nn.relu(self.head_in_ln1(self.head_in_1(x)))
         return self.head_in_ln2(self.head_in_2(x))
+
+    def project_features(self, features):
+        """Vision-to-graph projection of the FPN feature maps BEFORE node
+        sampling — the reference's `head_in_cfg != 'LN'` mode
+        (`graph_matching.py:274-276`). Identity in the shipped 'LN' mode
+        (there the projection runs on sampled nodes via `_head_in`)."""
+        if self.cfg.head_in_cfg == "LN":
+            return list(features)
+        return self.graph_head(features)
 
     def _group_by_class(self, src: NodeSet, tgt: NodeSet,
                         nodes_s_proj: jnp.ndarray, nodes_t_proj: jnp.ndarray,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from graphecho_tpu.config import TGCNConfig
+from graphecho_tpu.config import SinkhornConfig, TGCNConfig
 from graphecho_tpu.models.attention import MultiHeadAttention
 from graphecho_tpu.models.vig import MRConv, _act
 from graphecho_tpu.ops.grl import gradient_reversal
@@ -43,6 +43,9 @@ class TGCN(nn.Module):
     cfg: TGCNConfig
     dtype: Optional[Any] = None
     bn_axis_name: Optional[str] = None
+    # OT head knobs for transport_method='sinkhorn_distance'
+    # (reference `utils/sinkhorn_distance.py:5-91` defaults via `TGCN.py:281`).
+    sinkhorn: SinkhornConfig = SinkhornConfig()
 
     def setup(self):
         cfg = self.cfg
@@ -228,7 +231,9 @@ class TGCN(nn.Module):
             losses["node_dis_loss"] = 0.1 * bce_with_logits(logits, target)
         elif cfg.transport_method == "sinkhorn_distance":
             cost, _, _ = sinkhorn_distance(nodes_g[: b // 2], nodes_g[b // 2:],
-                                           eps=0.1, max_iter=5, reduction="mean")
+                                           eps=self.sinkhorn.eps,
+                                           max_iter=self.sinkhorn.max_iter,
+                                           reduction=self.sinkhorn.reduction)
             losses["sinkhorn_loss"] = cost
 
         return losses, (queue_s, queue_t)

@@ -113,9 +113,18 @@ def create_train_state(cfg: ExperimentConfig, models: Dict[str, Any],
                                    (cfg.gmodule.num_classes, c)))
         gmn_vars = gm.init({"params": k_gmn, "gmodule": k_gmn, "dropout": k_gmn},
                            dummy, dummy, seeds)
+        gmn_params = gmn_vars["params"]
+        if cfg.gmodule.head_in_cfg != "LN":
+            # the GRAPHHead tower is traced only via project_features (the
+            # __call__ init above never touches it) — init it separately on
+            # map-shaped dummies and merge its params in
+            maps = [jnp.zeros((1, 8, 8, c))] * 4
+            head_vars = gm.init({"params": jax.random.fold_in(k_gmn, 7)},
+                                maps, method=type(gm).project_features)
+            gmn_params = {**gmn_params, **head_vars["params"]}
         state_kwargs.update(
-            gmn_params=gmn_vars["params"],
-            gmn_opt=optimizers.gmn.init(gmn_vars["params"]),
+            gmn_params=gmn_params,
+            gmn_opt=optimizers.gmn.init(gmn_params),
             sr_seed=seeds[0],
             tg_seed=seeds[1],
         )

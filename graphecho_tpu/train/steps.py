@@ -46,26 +46,39 @@ def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
         raise ValueError(
             "temporal_graph=True requires graph_matching=True (the temporal "
             "branch reuses the graph-matching module)")
+    if cfg.train.discriminator and not cfg.train.graph_matching:
+        # Same class of config error as above — the per-level discriminators
+        # consume the target-domain FPN features that only the graph-matching
+        # branch computes (reference couples them the same way:
+        # train_camus_echo.py:216-241 runs the discriminators inside the
+        # target forward that exists only with the graph pipeline). Fail loud
+        # instead of silently dropping the discriminator.
+        raise ValueError(
+            "discriminator=True requires graph_matching=True (the per-level "
+            "discriminators run on the target-domain features the "
+            "graph-matching branch computes)")
     dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model.compute_dtype]
     models: Dict[str, Any] = {
         "fpn": FPN(num_classes=cfg.model.num_classes,
                    back_bone=cfg.model.backbone,
                    fpn_channels=cfg.model.fpn_channels,
                    semantic_channels=cfg.model.semantic_channels,
-                   dtype=dtype, bn_axis_name=bn_axis_name),
+                   dtype=dtype, bn_axis_name=bn_axis_name,
+                   vgg_spec=cfg.model.vgg_spec),
     }
     if cfg.train.graph_matching:
         # the graph head stays f32 even under bf16 compute: it is small-matmul
         # + normalization heavy (Sinkhorn/eigh/LayerNorm) where bf16 both
         # hurts numerics and (measured) runs SLOWER than f32 on v5e
         models["gmodule"] = GModule(cfg.gmodule, dtype=None)
-    if cfg.train.discriminator and cfg.train.graph_matching:
+    if cfg.train.discriminator:
         # measured 2x SLOWER in bf16 on v5e (GroupNorm-heavy tower) — keep f32
         models["discriminator"] = Discriminator(
             num_convs=cfg.dis.num_convs, in_channels=cfg.dis.in_channels,
-            grad_reverse_lambda=cfg.dis.grad_reverse_lambda, dtype=None)
+            grad_reverse_lambda=cfg.dis.grad_reverse_lambda,
+            grl_applied_domain=cfg.dis.grl_applied_domain, dtype=None)
     if cfg.train.temporal_graph:
-        models["tgcn"] = TGCN(cfg.tgcn, dtype=dtype)
+        models["tgcn"] = TGCN(cfg.tgcn, dtype=dtype, sinkhorn=cfg.sinkhorn)
     return models
 
 
@@ -127,11 +140,21 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
         grouped = None
         if t.graph_matching:
             pred_t, feats_t, bs = fpn_apply(batch["imgs_target"], bs)
-            score_maps = (jax.nn.sigmoid(pred_t) > 0.5).astype(jnp.float32)
+            # target pseudo-label threshold (`graph_matching.py:1026` exposes
+            # it as class_threshold; the reference's box branch hardcodes 0.5
+            # at `train_camus_echo.py:219` — same default here)
+            thr = cfg.gmodule.sampler.class_threshold
+            score_maps = (jax.nn.sigmoid(pred_t) > thr).astype(jnp.float32)
             boxes_s = masks_to_boxes(masks if not is_camus else masks[..., :1])
             boxes_t = masks_to_boxes(score_maps)
-            src = sample_nodes(feats_s, boxes_s, cfg.gmodule.sampler)
-            tgt = sample_nodes(feats_t, boxes_t, cfg.gmodule.sampler)
+            # head_in_cfg != 'LN': conv-project the maps before sampling
+            # (`graph_matching.py:274-276`); identity in the shipped 'LN' mode
+            project = (
+                (lambda f: gm.apply({"params": trainable["gmn"]}, f,
+                                    method=GModule.project_features))
+                if cfg.gmodule.head_in_cfg != "LN" else (lambda f: f))
+            src = sample_nodes(project(feats_s), boxes_s, cfg.gmodule.sampler)
+            tgt = sample_nodes(project(feats_t), boxes_t, cfg.gmodule.sampler)
             gm_losses, new_seeds, grouped = gm.apply(
                 {"params": trainable["gmn"]}, src, tgt,
                 (state.sr_seed, state.tg_seed), train=True,
@@ -187,9 +210,12 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
             # channel to a full-image box. We threshold like the main branch
             # (`:219`) so temporal target boxes carry real geometry.
             boxes_t2 = masks_to_boxes(
-                (jax.nn.sigmoid(preds_[half:]) > 0.5).astype(jnp.float32))
-            src2 = sample_nodes(src_feats, boxes_s2, cfg.gmodule.sampler)
-            tgt2 = sample_nodes(tgt_feats, boxes_t2, cfg.gmodule.sampler)
+                (jax.nn.sigmoid(preds_[half:])
+                 > cfg.gmodule.sampler.class_threshold).astype(jnp.float32))
+            src2 = sample_nodes(project(src_feats), boxes_s2,
+                                cfg.gmodule.sampler)
+            tgt2 = sample_nodes(project(tgt_feats), boxes_t2,
+                                cfg.gmodule.sampler)
             gm2_losses, new_seeds2, grouped2 = gm.apply(
                 {"params": trainable["gmn"]}, src2, tgt2,
                 (new_state_parts.get("sr_seed", state.sr_seed),

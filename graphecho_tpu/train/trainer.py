@@ -171,19 +171,24 @@ class Trainer:
               num_epochs: Optional[int] = None,
               eval_fns: Optional[Dict[str, Any]] = None,
               save_every: int = 1,
-              select_metric: Optional[str] = None) -> TrainState:
+              select_metric: Optional[str] = None,
+              on_epoch_end: Optional[Callable[[int, Dict[str, float],
+                                               Dict[str, float]], None]] = None
+              ) -> TrainState:
         """batch_iter_fn: returns a fresh finite batch iterator per epoch.
         eval_fns: name -> fn returning (imgs, masks) eval batches, or a
         (fn, is_video) tuple for video eval sets (flattened like the
         reference, `train_cardiac_uda.py:384-387`).
         select_metric: which eval set's dice tags the checkpoint (the
         reference tags saves with the VIDEO TEST dice specifically,
-        `train_cardiac_uda.py:371-372,572-587`); defaults to the last one."""
+        `train_cardiac_uda.py:371-372,572-587`); defaults to the last one.
+        on_epoch_end(epoch, train_means, dices): observer hook (curve
+        recording — e.g. scripts/train_rehearsal.py's JSONL log)."""
         num_epochs = num_epochs or self.cfg.train.num_epochs
         self._preemption = PreemptionGuard()
         try:
             for epoch in range(num_epochs):
-                self.train_epoch(batch_iter_fn(), epoch)
+                means = self.train_epoch(batch_iter_fn(), epoch)
                 if self._preemption.should_stop:
                     break
                 dices: Dict[str, float] = {}
@@ -194,6 +199,8 @@ class Trainer:
                             fn, is_video = fn
                         dices[name] = self.validation(fn(), name,
                                                       is_video=is_video)
+                if on_epoch_end is not None:
+                    on_epoch_end(epoch, means, dices)
                 if self.ckpt is not None and epoch % save_every == 0:
                     metrics = None
                     if dices:

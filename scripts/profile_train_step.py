@@ -88,6 +88,37 @@ def _setup(cfg):
     return step, state, batch
 
 
+# The chip's sustained matmul rate under this exact (chained + fetched)
+# methodology: 8192³ bf16 chained matmul on this v5e via the axon tunnel
+# (BENCHMARKS.md "measurement methodology"). MFU below is model-FLOPs /
+# step-time relative to this MEASURED ceiling; the nominal 197 TFLOP/s bf16
+# peak is also shown for cross-paper comparability.
+MEASURED_CEILING_TFLOPS = 137.0
+NOMINAL_PEAK_TFLOPS = 197.0
+
+
+def step_flops(step, state, batch):
+    """XLA's own FLOP count for the whole jitted train step (fwd + bwd +
+    optimizer updates). cost_analysis is per-executable, so this is the exact
+    numerator for MFU — not a hand model."""
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover — older jaxlibs
+        print(f"cost_analysis unavailable: {e}", flush=True)
+        return None
+
+
+def mfu_line(flops, ms):
+    tflops = flops / (ms * 1e-3) / 1e12
+    return (f"{flops / 1e9:,.0f} GFLOP/step -> {tflops:.1f} TFLOP/s "
+            f"= {100 * tflops / MEASURED_CEILING_TFLOPS:.0f}% of measured "
+            f"ceiling ({MEASURED_CEILING_TFLOPS:.0f}), "
+            f"{100 * tflops / NOMINAL_PEAK_TFLOPS:.0f}% of nominal bf16 peak")
+
+
 def time_step(step, state, batch, iters=30, trials=5):
     import numpy as np
 
@@ -128,11 +159,16 @@ def main():
     variants = {}
 
     step, state, batch = _setup(cfg)
+    # lower/compile BEFORE time_step: the state is donated there
+    flops = step_flops(step, state, batch)
     variants["full"] = time_step(step, state, batch, args.iters)
     b = cfg.data.batch_size
     print(f"[{args.recipe}] full (B={b}+{b * cfg.data.target_batch_mult}): "
           f"{variants['full']:.1f} ms "
           f"({2 * b / variants['full'] * 1e3:.0f} imgs/s)", flush=True)
+    if flops:
+        print(f"[{args.recipe}] MFU: {mfu_line(flops, variants['full'])}",
+              flush=True)
 
     if args.recipe == "cardiac_full" and args.batch is None:
         # branch ablations: where do the milliseconds go?

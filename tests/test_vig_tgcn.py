@@ -42,6 +42,22 @@ def test_dense_knn_matches_torch_topk():
     np.testing.assert_array_equal(np.sort(got, -1), np.sort(want.numpy(), -1))
 
 
+def test_knn_edges_reference_format():
+    """(nn_idx, center_idx) stack-layout parity with the reference's
+    dense_knn_matrix (`vig.py:299-309`): center rows repeat the row index k
+    times; nn_idx equals the plain dense_knn result."""
+    from graphecho_tpu.ops.knn import knn_edges_reference_format
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 12, 4).astype(np.float32))
+    nn_idx, center = knn_edges_reference_format(x, None, k=3)
+    assert nn_idx.shape == (2, 12, 3) and center.shape == (2, 12, 3)
+    np.testing.assert_array_equal(np.asarray(center[0, 5]), [5, 5, 5])
+    np.testing.assert_array_equal(np.asarray(center[1, 0]), [0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(nn_idx),
+                                  np.asarray(dense_knn(x, k=3)))
+
+
 def test_xy_knn_normalized():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 12, 4).astype(np.float32))
