@@ -116,3 +116,18 @@ def test_warmup_multistep_schedule_semantics():
     np.testing.assert_allclose(float(sch2(0)), 0.5)
     np.testing.assert_allclose(float(sch2(2)), 0.75)
     np.testing.assert_allclose(float(sch2(4)), 1.0)
+
+
+def test_cosine_lr_parity():
+    """Parity-only helper mirroring the reference's unused
+    `adjust_learning_rate` (`train_camus_echo.py:419-423`):
+    lr = base * 0.5 * (1 + cos(pi * epoch / total))."""
+    import math
+
+    from graphecho_tpu.train.schedule import cosine_lr
+
+    np.testing.assert_allclose(cosine_lr(2.0, 0, 100), 2.0)
+    np.testing.assert_allclose(cosine_lr(2.0, 50, 100), 1.0, atol=1e-12)
+    np.testing.assert_allclose(cosine_lr(2.0, 100, 100), 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        cosine_lr(3.0, 7, 40), 3.0 * 0.5 * (1 + math.cos(math.pi * 7 / 40)))

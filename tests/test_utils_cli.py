@@ -77,3 +77,33 @@ def test_cli_smoke_synthetic():
 
     main(["--epochs", "1", "--steps-per-epoch", "1", "--batch-size", "1",
           "--no-graph-matching", "--no-discriminator"])
+
+
+def test_visualize_node_sampling(tmp_path):
+    """`draw_boxes`/`render_node_sampling` mirror the reference's debug
+    drawing surface (`graph_matching.py:748-859`): boxes land exactly on the
+    mask extents computed by the sampler's own masks_to_boxes."""
+    from graphecho_tpu.utils.visualize import draw_boxes, render_node_sampling
+
+    img = np.zeros((32, 32), np.uint8)
+    out = draw_boxes(img, np.array([[4, 6, 10, 12]]), colors=(255, 0, 0),
+                     width=1)
+    assert out.shape == (32, 32, 3)
+    assert (out[6, 4:11] == [255, 0, 0]).all()   # top edge
+    assert (out[12, 4:11] == [255, 0, 0]).all()  # bottom edge
+    assert (out[6:13, 4] == [255, 0, 0]).all()   # left edge
+    assert (out[7, 5] == 0).all()                # interior untouched
+    # empty boxes: unchanged copy
+    assert (draw_boxes(img, np.zeros((0, 4))) == 0).all()
+
+    # two mask channels, one empty -> exactly one palette box at the extents
+    masks = np.zeros((32, 32, 2), np.float32)
+    masks[8:16, 4:20, 0] = 1.0
+    p = tmp_path / "qa.png"
+    out = render_node_sampling(masks, path=str(p))
+    assert p.exists() and out.shape == (32, 32, 3)
+    # channel-0 box spans x 4..19, y 8..15 (masks_to_boxes extents)
+    assert (out[8, 4:20] != out[20, 4:20]).any()  # drawn edge differs from bg
+    assert tuple(out[8, 4]) == (230, 25, 75)      # palette color 0
+    # nothing drawn from the empty channel's full-image fallback box
+    assert (out[0, :] == 0).all() and (out[-1, :] == 0).all()
