@@ -185,7 +185,7 @@ def main():
         variants["main_only"] = time_step(step_mo, state_mo, batch_mo, args.iters)
         print(f"main_only: {variants['main_only']:.1f} ms", flush=True)
 
-    if args.recipe == "cardiac" and args.batch is None:
+    if args.recipe in ("cardiac", "camus_temporal") and args.batch is None:
         cfg2 = dataclasses.replace(
             cfg, gmodule=dataclasses.replace(cfg.gmodule,
                                              with_cluster_update=False))
@@ -198,6 +198,25 @@ def main():
         step3, state3, batch3 = _setup(cfg3)
         variants["sinkhorn_5"] = time_step(step3, state3, batch3, args.iters)
         print(f"sinkhorn_5: {variants['sinkhorn_5']:.1f} ms", flush=True)
+
+    if args.recipe == "camus_temporal" and args.batch is None:
+        # where do the non-FPN milliseconds go? (the temporal branch holds the
+        # TGCN recurrence + second GModule pass, `train_camus_echo.py:244-278`)
+        cfg_nt = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, temporal_graph=False))
+        step_nt, state_nt, batch_nt = _setup(cfg_nt)
+        variants["no_temporal"] = time_step(step_nt, state_nt, batch_nt,
+                                            args.iters)
+        print(f"no_temporal: {variants['no_temporal']:.1f} ms", flush=True)
+
+        cfg_ng = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, temporal_graph=False,
+                                           graph_matching=False,
+                                           discriminator=False))
+        step_ng, state_ng, batch_ng = _setup(cfg_ng)
+        variants["seg_only"] = time_step(step_ng, state_ng, batch_ng,
+                                         args.iters)
+        print(f"seg_only: {variants['seg_only']:.1f} ms", flush=True)
 
     for k, v in variants.items():
         delta = variants["full"] - v
