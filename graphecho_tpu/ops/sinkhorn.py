@@ -59,7 +59,11 @@ def sinkhorn_rpm(log_alpha: jnp.ndarray, n_iters: int = 5, slack: bool = True,
             a = jnp.concatenate([a[:, :, :-1] - col_lse, a[:, :, -1:]], axis=2)
             return a, None
 
-        padded, _ = jax.lax.scan(body, padded, None, length=n_iters)
+        # unroll: each iteration is 2 logsumexps + 2 concats on a small
+        # (B, J+1, K+1) block — per-op overhead dominates on TPU, and
+        # unrolling lets XLA fuse across iterations
+        padded, _ = jax.lax.scan(body, padded, None, length=n_iters,
+                                 unroll=min(4, n_iters))
         out = padded[:, :-1, :-1]
     else:
 
@@ -69,7 +73,8 @@ def sinkhorn_rpm(log_alpha: jnp.ndarray, n_iters: int = 5, slack: bool = True,
             a = a - jax.nn.logsumexp(a, axis=1, keepdims=True)
             return a, None
 
-        out, _ = jax.lax.scan(body, log_alpha, None, length=n_iters)
+        out, _ = jax.lax.scan(body, log_alpha, None, length=n_iters,
+                              unroll=min(4, n_iters))
 
     if row_mask is not None:
         out = jnp.where(row_mask[:, :, None], out, neg_inf)

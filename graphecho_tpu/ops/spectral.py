@@ -104,7 +104,10 @@ def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
     carry = (jnp.zeros((m, n), lap.dtype), jnp.full((m,), big_ritz, lap.dtype),
              jnp.zeros((m,), lap.dtype), q1, jnp.zeros_like(q1),
              jnp.asarray(0.0, lap.dtype), norm0 > 1e-12)
-    q_mat, alphas, betas, *_ = jax.lax.fori_loop(0, m, body, carry)
+    # unroll: the body is ~15 tiny ops on (m,n)/(n,)-sized operands whose TPU
+    # cost is per-op dispatch, not FLOPs — unrolling lets XLA fuse across
+    # iterations (the matvec chain stays sequential either way)
+    q_mat, alphas, betas, *_ = jax.lax.fori_loop(0, m, body, carry, unroll=4)
 
     # Ritz problem on the tridiagonal (m x m — cheap even as dense eigh)
     t = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
@@ -190,7 +193,7 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
         ])
         return jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), centers)
 
-    centers = jax.lax.fori_loop(0, kmeans_iters, lloyd, centers0)
+    centers = jax.lax.fori_loop(0, kmeans_iters, lloyd, centers0, unroll=5)
     assign = (jnp.abs(fiedler[:, None] - centers[None, :])).argmin(axis=-1)
     assign = jnp.where(valid, assign.astype(jnp.int32), -1)
     return (assign, solve_ok) if with_quality else assign

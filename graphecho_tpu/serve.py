@@ -129,6 +129,9 @@ class Predictor:
         """(N, H, W[, 1]) frames -> (N, h, w, num_classes) int8 masks."""
         x = self._prep(imgs)
         n = x.shape[0]
+        if n == 0:
+            h, w = self._hw
+            return np.zeros((0, h, w, self.cfg.model.num_classes), np.int8)
         outs = []
         for i in range(0, n, self.batch_size):
             chunk = x[i:i + self.batch_size]

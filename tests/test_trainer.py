@@ -186,6 +186,9 @@ def test_predictor_roundtrip(tmp_path):
     big = (np.random.RandomState(1).rand(3, 100, 90) * 255).astype(np.uint8)
     masks2 = pred.predict(big)
     assert masks2.shape == (3, 64, 64, 2)
+    # empty request: shaped empty response, no dispatch
+    empty = pred.predict(np.zeros((0, 64, 64), np.float32))
+    assert empty.shape == (0, 64, 64, 2) and empty.dtype == np.int8
 
     mesh = create_mesh(8)
     pred_m = Predictor.from_checkpoint(cfg, str(tmp_path / "ckpt"),
