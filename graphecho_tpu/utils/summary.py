@@ -1,9 +1,11 @@
 """Run summaries: JSONL scalar stream + optional TensorBoard.
 
 Replaces the reference's tensorboardX SummaryWriter usage
-(`/root/reference/train_camus_echo.py:180-181,490-499`): scalars always go to
-an append-only `metrics.jsonl` (machine-readable, dependency-free); if
-tensorboardX happens to be importable the same scalars mirror there.
+(`/root/reference/train_camus_echo.py:180-181,490-499`): scalars and
+histogram stats go to an append-only `metrics.jsonl` (machine-readable,
+dependency-free), images to PNGs with JSONL pointer records; if tensorboardX
+happens to be importable everything mirrors there. Covers all three
+`sum_type` branches of the reference's `add_summary` (scalar/image/histogram).
 """
 
 from __future__ import annotations
@@ -39,6 +41,35 @@ class SummaryWriter:
                 self.add_scalar(prefix + k, float(v), step)
             except (TypeError, ValueError):
                 continue
+
+    def add_image(self, name: str, image, step: int) -> None:
+        """Image summary (the reference's `sum_type='image'` branch of
+        `add_summary`, `train_camus_echo.py:490-499` → tensorboardX
+        `add_image`). Writes a PNG under `<log_dir>/images/` plus a JSONL
+        pointer record; mirrors to TB when importable. Accepts (H, W),
+        (H, W, 1) or (H, W, 3), uint8 or float in [0, 1] (NHWC convention —
+        tensorboardX's default is CHW)."""
+        import numpy as np
+
+        img = np.asarray(image)
+        if img.ndim == 3 and img.shape[-1] == 1:
+            img = img[..., 0]
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        fname = f"{name.replace('/', '_')}_{step:06d}.png"
+        from PIL import Image
+
+        Image.fromarray(img).save(os.path.join(img_dir, fname))
+        self._f.write(json.dumps({"ts": time.time(), "step": step,
+                                  "name": name,
+                                  "image": os.path.join("images", fname)})
+                      + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            tb_img = img[None] if img.ndim == 2 else img.transpose(2, 0, 1)
+            self._tb.add_image(name, tb_img, step)
 
     def add_histogram(self, name: str, values, step: int) -> None:
         self._f.write(json.dumps({"ts": time.time(), "step": step,

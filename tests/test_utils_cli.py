@@ -40,6 +40,21 @@ def test_summary_writer(tmp_path):
     assert {l["name"] for l in lines} == {"loss", "train/a", "train/b"}
 
 
+def test_summary_writer_add_image(tmp_path):
+    import numpy as np
+
+    w = SummaryWriter(str(tmp_path))
+    # float (H, W, 1) in [0, 1] and uint8 (H, W, 3) both accepted
+    w.add_image("val/pred", np.linspace(0, 1, 64).reshape(8, 8, 1), 3)
+    w.add_image("val/rgb", np.zeros((8, 8, 3), np.uint8), 4)
+    w.close()
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [r["name"] for r in recs] == ["val/pred", "val/rgb"]
+    for r in recs:
+        png = tmp_path / r["image"]
+        assert png.exists() and png.read_bytes()[:4] == b"\x89PNG"
+
+
 def test_preemption_guard():
     g = PreemptionGuard(signals=(signal.SIGUSR1,))
     assert not g.should_stop
