@@ -117,6 +117,8 @@ def polygon_mask(ys: Sequence[float], xs: Sequence[float],
         return None
     ys = np.ascontiguousarray(ys, np.float64)
     xs = np.ascontiguousarray(xs, np.float64)
+    if ys.shape != xs.shape:
+        raise ValueError(f"ys/xs length mismatch: {ys.shape} vs {xs.shape}")
     out = np.zeros(shape, np.float32)
     lib.ge_polygon_mask(
         ys.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
