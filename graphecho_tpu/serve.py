@@ -8,7 +8,10 @@ the production-serving surface of the rebuild:
   * fixed-shape jitted forward with automatic batch padding (one compile per
     configured batch size, not per request size);
   * video mode shards the frame axis over a device mesh
-    (`parallel/video_infer`).
+    (`parallel/video_infer`);
+  * AOT deployment artifacts: `Predictor.export_compiled()` serializes the
+    compiled graph (StableHLO, `jax.export`) + weights; `load_exported()`
+    serves them without any model-building Python.
 """
 
 from __future__ import annotations
@@ -57,6 +60,10 @@ class Predictor:
                 "float-only; drop `mesh` for int8 serving or `quantize` for "
                 "sharded video inference")
 
+        # Both paths share one `raw(bundle, x) -> int8 masks` signature where
+        # `bundle` is a weight pytree passed as a jit ARGUMENT (never
+        # const-folded — the remote-compile stall mode); export_compiled()
+        # AOT-serializes the same function.
         if quantize:
             from graphecho_tpu.quant import quantize_fpn_backbone
             from graphecho_tpu.quant.ptq import make_quantized_infer
@@ -70,21 +77,22 @@ class Predictor:
             qb = quantize_fpn_backbone(cfg.model.backbone, variables,
                                        calib_batches)
             self._qparams = qb.qparams()
-            # weights are jit ARGUMENTS inside make_quantized_infer — never
-            # const-folded into the HLO (the remote-compile stall mode)
-            _infer_q = jax.jit(make_quantized_infer(
-                self.fpn, qb, threshold=threshold, bf16_features=True))
+            _infer_q = make_quantized_infer(
+                self.fpn, qb, threshold=threshold, bf16_features=True)
 
-            def _infer(variables, x):
-                return _infer_q({"params": variables["params"]},
-                                self._qparams, x)
+            def raw(bundle, x):
+                return _infer_q(bundle[0], bundle[1], x)
+
+            self._bundle = ({"params": variables["params"]}, self._qparams)
         else:
-            @jax.jit
-            def _infer(variables, x):
-                logits, _ = self.fpn.apply(variables, x, train=False)
+            def raw(bundle, x):
+                logits, _ = self.fpn.apply(bundle, x, train=False)
                 return (jax.nn.sigmoid(logits) > threshold).astype(jnp.int8)
 
-        self._infer = _infer
+            self._bundle = variables
+        self._raw_infer = raw
+        _infer_b = jax.jit(raw)
+        self._infer = lambda variables, x: _infer_b(self._bundle, x)
         self._video = None
         if mesh is not None:
             from graphecho_tpu.parallel.video_infer import make_sharded_video_infer
@@ -151,3 +159,112 @@ class Predictor:
             pred, t = self._video(self.variables, jnp.asarray(x))
             return np.asarray(pred)
         return self.predict(x)
+
+    def export_compiled(self, path: str, platforms=None) -> None:
+        """AOT-export the batch inference function as a deployable artifact.
+
+        Writes `<path>/fn.jaxexport` (serialized StableHLO via `jax.export` —
+        the compiled graph, threshold baked in), `<path>/weights.npz` (the
+        weight bundle leaves, inference-ready: bf16 or int8+scales), and
+        `<path>/meta.json`. `load_exported(path)` reloads and serves WITHOUT
+        the model-building Python (no flax module, no config tree) — the
+        deployment story the reference (which ships only a train-loop
+        validation pass, `train_cardiac_uda.py:376-426`) has no analogue for.
+
+        `platforms`: sequence like ("tpu",) or ("cpu", "tpu") — defaults to
+        the current default backend. Works for both the bf16 and the int8
+        PTQ predictor (the exported fn takes the weight LEAVES in flatten
+        order, so no pytree-def serialization is needed).
+        """
+        import json
+        import os
+
+        from jax import export as jexport
+
+        leaves, treedef = jax.tree_util.tree_flatten(self._bundle)
+        raw = self._raw_infer
+
+        def fn(flat, x):
+            return raw(jax.tree_util.tree_unflatten(treedef, flat), x)
+
+        h, w = self._hw
+        x_spec = jax.ShapeDtypeStruct((self.batch_size, h, w, 1), jnp.float32)
+        leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+        kwargs = {} if platforms is None else {"platforms": tuple(platforms)}
+        exp = jexport.export(jax.jit(fn), **kwargs)(leaf_specs, x_spec)
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "fn.jaxexport"), "wb") as f:
+            f.write(bytes(exp.serialize()))
+        np.savez(os.path.join(path, "weights.npz"),
+                 **{f"leaf_{i:05d}": np.asarray(l)
+                    for i, l in enumerate(leaves)})
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"batch_size": self.batch_size, "hw": [h, w],
+                       "num_classes": self.cfg.model.num_classes,
+                       "threshold": self.threshold,
+                       "platforms": list(exp.platforms)}, f)
+
+
+class ExportedPredictor:
+    """Serves an `export_compiled()` artifact: the AOT-compiled graph plus
+    weights — no model code, no config tree. Same `predict()` contract as
+    `Predictor` (any request size; pads to the exported batch)."""
+
+    def __init__(self, exported, leaves, meta: dict):
+        self._exp = exported
+        self._leaves = leaves
+        self.batch_size = int(meta["batch_size"])
+        self._hw = tuple(meta["hw"])
+        self.num_classes = int(meta["num_classes"])
+        self.threshold = float(meta["threshold"])
+        self.platforms = tuple(meta.get("platforms", ()))
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedPredictor":
+        import json
+        import os
+
+        from jax import export as jexport
+
+        with open(os.path.join(path, "fn.jaxexport"), "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        with np.load(os.path.join(path, "weights.npz")) as z:
+            leaves = [jnp.asarray(z[k]) for k in sorted(z.files)]
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(exported, leaves, meta)
+
+    def _prep(self, imgs: np.ndarray) -> np.ndarray:
+        from graphecho_tpu.data.transforms import nearest_resize
+
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
+        if imgs.shape[1:3] != self._hw:
+            imgs = np.stack([nearest_resize(f, self._hw) for f in imgs])
+        return imgs.astype(np.float32)
+
+    def predict(self, imgs) -> np.ndarray:
+        x = self._prep(imgs)
+        n = x.shape[0]
+        h, w = self._hw
+        if n == 0:
+            return np.zeros((0, h, w, self.num_classes), np.int8)
+        outs = []
+        for i in range(0, n, self.batch_size):
+            chunk = x[i:i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            pred = self._exp.call(self._leaves, jnp.asarray(chunk))
+            outs.append(np.asarray(pred)[: self.batch_size - pad])
+        return np.concatenate(outs, axis=0)
+
+
+def load_exported(path: str) -> ExportedPredictor:
+    """Load a `Predictor.export_compiled()` artifact for serving."""
+    return ExportedPredictor.load(path)

@@ -195,3 +195,35 @@ def test_predictor_roundtrip(tmp_path):
                                        batch_size=4, mesh=mesh)
     vid = pred_m.predict_video(frames)
     assert vid.shape == (6, 64, 64, 2)
+
+    # AOT export -> load -> serve without model code; masks identical
+    from graphecho_tpu.serve import load_exported
+
+    pred.export_compiled(str(tmp_path / "export"))
+    exp = load_exported(str(tmp_path / "export"))
+    np.testing.assert_array_equal(exp.predict(frames), masks)
+    np.testing.assert_array_equal(exp.predict(big), masks2)
+    assert exp.predict(np.zeros((0, 64, 64), np.float32)).shape == (0, 64, 64, 2)
+
+
+def test_exported_predictor_quantized(tmp_path):
+    """The int8 PTQ predictor exports/reloads too (weights stay int8)."""
+    from graphecho_tpu.data.synthetic import SyntheticEchoData
+    from graphecho_tpu.serve import Predictor, load_exported
+    from graphecho_tpu.train.state import Optimizers, create_train_state
+    from graphecho_tpu.train.steps import build_models
+
+    cfg = tiny_config(graph_matching=False, discriminator=False)
+    data = SyntheticEchoData(cfg, seed=0)
+    state = create_train_state(
+        cfg, build_models(cfg), Optimizers(cfg), jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in data.train_batch().items()})
+    variables = {"params": state.net_params,
+                 "batch_stats": state.net_batch_stats}
+    pred = Predictor(cfg, variables, batch_size=4, quantize=True)
+    frames = np.random.RandomState(0).rand(3, 64, 64).astype(np.float32)
+    masks = pred.predict(frames)
+
+    pred.export_compiled(str(tmp_path / "export_q"))
+    exp = load_exported(str(tmp_path / "export_q"))
+    np.testing.assert_array_equal(exp.predict(frames), masks)
