@@ -64,6 +64,12 @@ class ModelConfig:
     # shrinks this to keep 1-core XLA:CPU compiles of the fused step inside
     # the driver budget while keeping the identical code path.
     vgg_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+    # Rematerialize backbone activations (per-block jax.checkpoint): trades
+    # ~one extra backbone forward in the backward pass for not storing
+    # intra-block activations — HBM headroom for the 64-frame 256² temporal/
+    # cycle branches (larger batches/clips on one chip). Identical math; no
+    # reference analog (torch would use torch.utils.checkpoint).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -57,12 +57,18 @@ class VGG16(nn.Module):
     `block_spec` overrides the (width, n_convs) per block — same topology,
     shrunken — used by the driver's `dryrun_multichip` to keep XLA:CPU compile
     of the fused full step inside the driver budget on 1-core hosts while
-    exercising the identical code path. None → the reference layout."""
+    exercising the identical code path. None → the reference layout.
+
+    `remat=True` wraps each block in `nn.remat` (jax.checkpoint): the backward
+    pass recomputes intra-block activations instead of storing them — only the
+    block-boundary (post-pool) tensors persist. Function-form lift so the
+    parameter paths (`blockN_convM/...`) are byte-identical either way."""
 
     in_channels: int = 1  # informational; flax infers from input
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
     block_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,11 +76,14 @@ class VGG16(nn.Module):
         widths = self.block_spec or ((64, 2), (128, 2), (256, 3), (512, 3),
                                      (512, 3))
         for block_idx, (width, n_convs) in enumerate(widths):
-            for conv_idx in range(n_convs):
-                x = ConvBNRelu(width, dtype=self.dtype,
-                               bn_axis_name=self.bn_axis_name,
-                               name=f"block{block_idx + 1}_conv{conv_idx + 1}")(x, train)
-            x = _max_pool(x, (2, 2), (2, 2))
+            def block(mdl, x, _bi=block_idx, _w=width, _n=n_convs):
+                for conv_idx in range(_n):
+                    x = ConvBNRelu(_w, dtype=mdl.dtype,
+                                   bn_axis_name=mdl.bn_axis_name,
+                                   name=f"block{_bi + 1}_conv{conv_idx + 1}")(x, train)
+                return _max_pool(x, (2, 2), (2, 2))
+
+            x = (nn.remat(block) if self.remat else block)(self, x)
             feats.append(x)
         return feats
 
@@ -119,6 +128,8 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 5, 3)
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
+    # per-Bottleneck nn.remat — see VGG16.remat; parameter paths unchanged
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -139,18 +150,25 @@ class ResNet(nn.Module):
             for block_idx in range(blocks):
                 s = stride if block_idx == 0 else 1
                 downsample = block_idx == 0 and (s != 1 or inplanes != planes * 4)
-                x = Bottleneck(planes, (s, s), downsample, dtype=self.dtype,
-                               bn_axis_name=self.bn_axis_name,
-                               name=f"layer{stage_idx + 1}_block{block_idx}")(x, train)
+
+                def block(mdl, x, _p=planes, _s=s, _d=downsample,
+                          _name=f"layer{stage_idx + 1}_block{block_idx}"):
+                    return Bottleneck(_p, (_s, _s), _d, dtype=mdl.dtype,
+                                      bn_axis_name=mdl.bn_axis_name,
+                                      name=_name)(x, train)
+
+                x = (nn.remat(block) if self.remat else block)(self, x)
                 inplanes = planes * 4
             feats.append(x)
         return feats
 
 
-def ResNet50(dtype=None, bn_axis_name=None) -> ResNet:
+def ResNet50(dtype=None, bn_axis_name=None, remat=False) -> ResNet:
     """Reference `ResNet50` quirk: stage sizes [3,4,5,3] (`fpnseg.py:295`)."""
-    return ResNet(layers=(3, 4, 5, 3), dtype=dtype, bn_axis_name=bn_axis_name)
+    return ResNet(layers=(3, 4, 5, 3), dtype=dtype, bn_axis_name=bn_axis_name,
+                  remat=remat)
 
 
-def ResNet101(dtype=None, bn_axis_name=None) -> ResNet:
-    return ResNet(layers=(3, 4, 23, 3), dtype=dtype, bn_axis_name=bn_axis_name)
+def ResNet101(dtype=None, bn_axis_name=None, remat=False) -> ResNet:
+    return ResNet(layers=(3, 4, 23, 3), dtype=dtype, bn_axis_name=bn_axis_name,
+                  remat=remat)

@@ -39,13 +39,16 @@ class FPN(nn.Module):
     bn_axis_name: Optional[str] = None
     # VGG (width, n_convs) per-block override — see VGG16.block_spec.
     vgg_spec: Optional[Tuple[Tuple[int, int], ...]] = None
+    # per-block backbone rematerialization — see VGG16.remat
+    remat: bool = False
 
     def setup(self):
         if self.back_bone == "resnet":
-            self.backbone = ResNet50(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+            self.backbone = ResNet50(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                                     remat=self.remat)
         elif self.back_bone == "VGG16":
             self.backbone = VGG16(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                                  block_spec=self.vgg_spec)
+                                  block_spec=self.vgg_spec, remat=self.remat)
         else:
             raise ValueError(f"unknown backbone {self.back_bone!r}")
 

@@ -64,7 +64,7 @@ def build_models(cfg: ExperimentConfig, bn_axis_name=None) -> Dict[str, Any]:
                    fpn_channels=cfg.model.fpn_channels,
                    semantic_channels=cfg.model.semantic_channels,
                    dtype=dtype, bn_axis_name=bn_axis_name,
-                   vgg_spec=cfg.model.vgg_spec),
+                   vgg_spec=cfg.model.vgg_spec, remat=cfg.model.remat),
     }
     if cfg.train.graph_matching:
         # the graph head stays f32 even under bf16 compute: it is small-matmul

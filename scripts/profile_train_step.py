@@ -98,17 +98,30 @@ NOMINAL_PEAK_TFLOPS = 197.0
 
 
 def step_flops(step, state, batch):
-    """XLA's own FLOP count for the whole jitted train step (fwd + bwd +
-    optimizer updates). cost_analysis is per-executable, so this is the exact
-    numerator for MFU — not a hand model."""
+    """XLA's own FLOP count + HBM temp footprint for the whole jitted train
+    step (fwd + bwd + optimizer updates). cost_analysis is per-executable, so
+    this is the exact numerator for MFU — not a hand model. Returns
+    (flops|None, temp_bytes|None): temp_bytes is the compiler's scratch
+    (activation) allocation — the number `ModelConfig.remat` shrinks."""
+    temp = None
     try:
-        cost = step.lower(state, batch).compile().cost_analysis()
+        compiled = step.lower(state, batch).compile()
+    except Exception as e:  # pragma: no cover — older jaxlibs
+        print(f"lower/compile analysis unavailable: {e}", flush=True)
+        return None, None
+    try:
+        mem = compiled.memory_analysis()
+        temp = float(getattr(mem, "temp_size_in_bytes", 0.0)) or None
+    except Exception as e:  # pragma: no cover
+        print(f"memory_analysis unavailable: {e}", flush=True)
+    try:
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # pragma: no cover — older jaxlibs
+        return float(cost.get("flops", 0.0)) or None, temp
+    except Exception as e:  # pragma: no cover
         print(f"cost_analysis unavailable: {e}", flush=True)
-        return None
+        return None, temp
 
 
 def mfu_line(flops, ms):
@@ -144,6 +157,10 @@ def main():
                     choices=["cardiac", "camus_temporal", "cardiac_full"])
     ap.add_argument("--batch", type=int, default=None,
                     help="override source batch size (throughput scaling)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block backbone rematerialization "
+                         "(ModelConfig.remat): trade ~1 extra backbone "
+                         "forward for the intra-block activation memory")
     args = ap.parse_args()
 
     import os
@@ -156,11 +173,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
 
     cfg = _with_batch(_cfg(args.bf16, args.recipe), args.batch)
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True))
     variants = {}
 
     step, state, batch = _setup(cfg)
     # lower/compile BEFORE time_step: the state is donated there
-    flops = step_flops(step, state, batch)
+    flops, temp_bytes = step_flops(step, state, batch)
+    if temp_bytes:
+        print(f"[{args.recipe}] XLA temp (activation) HBM: "
+              f"{temp_bytes / 2**30:.2f} GiB (remat={args.remat})", flush=True)
     variants["full"] = time_step(step, state, batch, args.iters)
     b = cfg.data.batch_size
     print(f"[{args.recipe}] full (B={b}+{b * cfg.data.target_batch_mult}): "

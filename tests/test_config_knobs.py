@@ -40,6 +40,7 @@ LIVE = {
     "ModelConfig.semantic_channels": "train/steps.py::build_models",
     "ModelConfig.compute_dtype": "train/steps.py::build_models",
     "ModelConfig.vgg_spec": "models/backbones.py::VGG16",
+    "ModelConfig.remat": "models/backbones.py (per-block nn.remat)",
     "NodeSamplerConfig.pos_budget_per_level": "ops/sampling.py::sample_nodes",
     "NodeSamplerConfig.bg_ratio": "ops/sampling.py (bg_budget_per_level)",
     "NodeSamplerConfig.class_threshold": "train/steps.py (target score maps)",

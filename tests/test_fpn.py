@@ -25,6 +25,45 @@ def test_fpn_shapes(backbone):
     assert all(f.shape[-1] == 256 for f in feats)
 
 
+@pytest.mark.parametrize("backbone", ["VGG16", "resnet"])
+def test_fpn_remat_identical(backbone):
+    """`remat=True` is a memory knob, not a math knob: identical param paths
+    (checkpoint compatibility) and identical forward + gradients."""
+    base = FPN(num_classes=2, back_bone=backbone)
+    rem = FPN(num_classes=2, back_bone=backbone, remat=True)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 1), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x)
+    v_rem = rem.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v_rem))
+
+    def loss(model, variables):
+        (logits, _), mut = model.apply(variables, x, train=True,
+                                       mutable=["batch_stats"])
+        return jnp.sum(logits ** 2), mut["batch_stats"]
+
+    (l0, bs0), g0 = jax.value_and_grad(
+        lambda p: loss(base, {**variables, "params": p}), has_aux=True)(
+        variables["params"])
+    (l1, bs1), g1 = jax.value_and_grad(
+        lambda p: loss(rem, {**variables, "params": p}), has_aux=True)(
+        variables["params"])
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-6)
+    # gradients match to reduction-reorder noise: remat recomputes the
+    # forward inside the backward, so XLA fuses/reduces in a different order
+    # (f32, deep resnet grads span ~1e-2..1e4 within one leaf) — compare to a
+    # per-leaf norm-scaled tolerance, not elementwise rtol
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-4 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=0, atol=tol)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_fpn_eval_deterministic_and_bn_updates():
     model = FPN(num_classes=1, back_bone="resnet")
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 1), jnp.float32)
