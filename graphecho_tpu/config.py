@@ -151,14 +151,6 @@ class GModuleConfig:
     nodes_per_class: int = 112
     sampler: NodeSamplerConfig = NodeSamplerConfig()
 
-    @property
-    def num_node_classes(self) -> int:
-        """Label space size for nodes. The reference assigns target
-        pseudo-labels `argmax+1` (`graph_matching.py:1043`) while source labels
-        are `0..num_classes-1` (`:923`), so labels span 0..num_classes.
-        We size seed banks / classifier for the full range."""
-        return self.num_classes + 1
-
 
 @dataclasses.dataclass(frozen=True)
 class DiscriminatorConfig:

@@ -75,7 +75,12 @@ class GRAPHHead(nn.Module):
                          bias_init=nn.initializers.zeros, name=f"conv_{i}")
                  for i in range(self.num_convs)]
         n_groups = {"GN": 32, "IN": self.channels}.get(self.norm)
+        # 'IN' mirrors torch nn.InstanceNorm2d's affine=False default
+        # (reference `graph_matching.py:78`); 'GN' keeps the learnable
+        # scale/bias torch nn.GroupNorm defaults to.
+        affine = self.norm != "IN"
         norms = [nn.GroupNorm(num_groups=n_groups, dtype=self.dtype,
+                              use_scale=affine, use_bias=affine,
                               name=f"gn_{i}")
                  if n_groups is not None else None
                  for i in range(self.num_convs)]

@@ -59,14 +59,32 @@ def _pairwise_sq_dists(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
-                     m: int = 24) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     m: int = 24
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fiedler vector of a symmetric normalized Laplacian via m-step Lanczos
     with deflation of the analytic null vector v0 = D^{1/2}·1 (L_sym·v0 = 0
-    exactly wherever deg > 0). Returns (fiedler (N,), residual scalar) where
-    residual = |beta_m · s_m| is the standard Lanczos bound on
-    ||L·y − θ·y|| for the selected Ritz pair — large when the Krylov space
-    has not isolated the Fiedler direction (ambiguous/near-degenerate
-    clusters), letting callers fall back instead of drifting silently."""
+    exactly wherever deg > 0). Returns (fiedler (N,), residual scalar,
+    missed_lower bool) where residual = |beta_m · s_m| is the standard
+    Lanczos bound on ||L·y − θ·y|| for the selected Ritz pair — large when
+    the Krylov space has not isolated the Fiedler direction
+    (ambiguous/near-degenerate clusters), letting callers fall back instead
+    of drifting silently.
+
+    CAVEAT (r4 advisor): the Paige residual certifies convergence to SOME
+    eigenpair within the explored Krylov subspace — if the deterministic
+    start vector is (near-)orthogonal to the Fiedler direction (possible on
+    highly structured/symmetric node sets), the space exhausts (beta -> 0),
+    residual is 0, and the certified pair is not the Fiedler pair. The
+    `missed_lower` flag is the secondary check for exactly that: a short
+    restarted Lanczos from a SECOND deterministic start vector, confined to
+    the orthogonal complement of the explored space (reorthogonalized
+    against v0 and the full primary basis each step), reports True when it
+    finds a Ritz value below the accepted one — proof the primary solve
+    missed a lower eigenpair. Callers should treat missed_lower=True as
+    solve-not-ok (plain-mean fallback). The probe is ~m2/m of the primary
+    solve's cost; it is a detector, not a complete certificate (a complement
+    direction mixing high modes can hide a low eigenvalue from a short
+    probe), which is why it gates quality rather than replacing the solve."""
     n = lap.shape[0]
     v0 = jnp.sqrt(jnp.maximum(deg, 0.0)) * fvalid
     v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
@@ -111,13 +129,57 @@ def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
 
     # Ritz problem on the tridiagonal (m x m — cheap even as dense eigh)
     t = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1))
-    _, s = jnp.linalg.eigh(t)
+    vals, s = jnp.linalg.eigh(t)
     # residual bound for the smallest (= Fiedler, v0 deflated) Ritz pair:
     # ||L·y − θ·y|| = |β_m| · |s[m-1, 0]| (Paige); β_m is the would-be next
     # off-diagonal. A dead Krylov space (beta -> 0) means exact convergence
     # within the explored subspace — residual 0 by construction.
     residual = jnp.abs(betas[m - 1]) * jnp.abs(s[m - 1, 0])
-    return q_mat.T @ s[:, 0], residual
+    theta = vals[0]  # dead slots are parked at big_ritz, never selected
+
+    # Secondary probe (see CAVEAT above): short Lanczos from a second
+    # deterministic start, kept orthogonal to v0 AND the primary basis, so it
+    # explores only directions the primary solve never saw. Finding a Ritz
+    # value below theta there proves the primary pair is not the lowest.
+    m2 = 6
+    z = jnp.sin(i * 7.5625 + 17.341) * 24681.357
+    z = (z - jnp.floor(z) - 0.5) * fvalid
+    z = z - jnp.dot(v0, z) * v0
+    z = z - q_mat.T @ (q_mat @ z)
+    nz = jnp.linalg.norm(z)
+    # an (near-)empty complement means the primary space is invariant and
+    # complete — nothing to miss
+    probe_live = nz > 1e-6
+
+    def body2(j, carry):
+        p_mat, alphas2, betas2, q, q_prev, beta_prev, alive = carry
+        p_mat = p_mat.at[j].set(q)
+        w = lap @ q
+        alpha = jnp.dot(q, w)
+        w = w - alpha * q - beta_prev * q_prev
+        w = w - jnp.dot(v0, w) * v0
+        w = w - q_mat.T @ (q_mat @ w)   # stay out of the explored space
+        w = w - p_mat.T @ (p_mat @ w)
+        beta = jnp.linalg.norm(w)
+        next_alive = alive & (beta > 1e-6)
+        alphas2 = alphas2.at[j].set(jnp.where(alive, alpha, big_ritz))
+        betas2 = betas2.at[j].set(jnp.where(next_alive, beta, 0.0))
+        q_next = jnp.where(next_alive, w / jnp.maximum(beta, 1e-12),
+                           jnp.zeros_like(w))
+        return (p_mat, alphas2, betas2, q_next, q,
+                jnp.where(next_alive, beta, 0.0), next_alive)
+
+    z1 = jnp.where(probe_live, z / jnp.maximum(nz, 1e-12), jnp.zeros_like(z))
+    carry2 = (jnp.zeros((m2, n), lap.dtype),
+              jnp.full((m2,), big_ritz, lap.dtype),
+              jnp.zeros((m2,), lap.dtype), z1, jnp.zeros_like(z1),
+              jnp.asarray(0.0, lap.dtype), probe_live)
+    _, alphas2, betas2, *_ = jax.lax.fori_loop(0, m2, body2, carry2, unroll=3)
+    t2 = (jnp.diag(alphas2) + jnp.diag(betas2[:-1], 1)
+          + jnp.diag(betas2[:-1], -1))
+    theta2 = jnp.linalg.eigh(t2)[0][0]
+    missed_lower = probe_live & (theta2 < theta - 0.05)
+    return q_mat.T @ s[:, 0], residual, missed_lower
 
 
 def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
@@ -135,8 +197,10 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     prepended seed row, `graph_matching.py:538-540`.)
     `solver`: 'lanczos' (fast, default) | 'eigh' (exact dense solve).
     `with_quality`: also return a scalar bool — True when the Fiedler solve is
-    trustworthy (always for 'eigh'; Lanczos Ritz residual <= `ritz_tol` —
-    the spectrum of L_sym lives in [0, 2], so 0.05 is a tight relative bound).
+    trustworthy (always for 'eigh'; for Lanczos: Ritz residual <= `ritz_tol` —
+    the spectrum of L_sym lives in [0, 2], so 0.05 is a tight relative bound —
+    AND the restarted complement probe found no lower eigenpair the primary
+    start vector missed; see `_fiedler_lanczos`).
     The reference's own failure mode here is an sklearn exception swallowed
     into the plain-mean fallback (`graph_matching.py:544-546`); the quality
     bit routes ambiguous solves to the same fallback instead of drifting
@@ -170,9 +234,9 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     lap = lap + jnp.diag(10.0 * (1.0 - fvalid))
 
     if solver == "lanczos":
-        fiedler, residual = _fiedler_lanczos(
+        fiedler, residual, missed_lower = _fiedler_lanczos(
             lap, deg, fvalid, m=min(lanczos_steps, max(n - 1, 1)))
-        solve_ok = residual <= ritz_tol
+        solve_ok = (residual <= ritz_tol) & ~missed_lower
     else:
         _, vecs = jnp.linalg.eigh(lap)
         fiedler = vecs[:, 1]  # second-smallest eigenvector

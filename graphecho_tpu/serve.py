@@ -47,7 +47,8 @@ class Predictor:
                                            compute_dtype="bfloat16"))
         self.cfg = cfg
         self.fpn = build_models(cfg)["fpn"]
-        self.variables = variables
+        self._quantized = bool(quantize)
+        self._variables = variables
         self.batch_size = batch_size
         self.threshold = threshold
         self.mesh = mesh
@@ -92,13 +93,36 @@ class Predictor:
             self._bundle = variables
         self._raw_infer = raw
         _infer_b = jax.jit(raw)
-        self._infer = lambda variables, x: _infer_b(self._bundle, x)
+        # `_infer` takes only `x`; weights come from `self._bundle`, which the
+        # `variables` setter keeps in sync — so hot-swapping `pred.variables`
+        # updates BOTH the batch and the video path (r4 review item 5: the old
+        # two-arg lambda silently dropped its variables argument).
+        self._infer = lambda x: _infer_b(self._bundle, x)
         self._video = None
         if mesh is not None:
             from graphecho_tpu.parallel.video_infer import make_sharded_video_infer
 
             self._video = make_sharded_video_infer(self.fpn, mesh,
                                                    threshold=threshold)
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, v):
+        """Hot-swap serving weights. Float predictors re-point the jitted
+        bundle (no recompile — same shapes/dtypes). int8 predictors refuse:
+        their bundle embeds activation scales calibrated against the ORIGINAL
+        weights, so a silent swap would serve miscalibrated numerics —
+        construct a fresh Predictor(quantize=True) to requantize."""
+        if self._quantized:
+            raise ValueError(
+                "int8 Predictor weights are frozen at construction "
+                "(activation scales were calibrated for them); build a new "
+                "Predictor(quantize=True) to serve updated weights")
+        self._variables = v
+        self._bundle = v
 
     @classmethod
     def from_checkpoint(cls, cfg: ExperimentConfig, checkpoint_dir: str,
@@ -147,7 +171,7 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            pred = self._infer(self.variables, jnp.asarray(chunk))
+            pred = self._infer(jnp.asarray(chunk))
             outs.append(np.asarray(pred)[: self.batch_size - pad])
         return np.concatenate(outs, axis=0)
 
@@ -156,7 +180,7 @@ class Predictor:
         mesh when one was provided."""
         x = self._prep(frames)
         if self._video is not None:
-            pred, t = self._video(self.variables, jnp.asarray(x))
+            pred, t = self._video(self._variables, jnp.asarray(x))
             return np.asarray(pred)
         return self.predict(x)
 
@@ -196,13 +220,22 @@ class Predictor:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "fn.jaxexport"), "wb") as f:
             f.write(bytes(exp.serialize()))
-        np.savez(os.path.join(path, "weights.npz"),
-                 **{f"leaf_{i:05d}": np.asarray(l)
-                    for i, l in enumerate(leaves)})
+        # npz cannot round-trip ml_dtypes extension dtypes (bf16 comes back as
+        # a raw |V2 void dtype) — store such leaves as uint16 bit patterns and
+        # record every leaf dtype in meta.json for the loader to restore.
+        leaf_dtypes = [str(np.asarray(l).dtype) for l in leaves]
+        arrays = {}
+        for i, l in enumerate(leaves):
+            a = np.asarray(l)
+            if a.dtype == jnp.bfloat16:
+                a = a.view(np.uint16)
+            arrays[f"leaf_{i:05d}"] = a
+        np.savez(os.path.join(path, "weights.npz"), **arrays)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"batch_size": self.batch_size, "hw": [h, w],
                        "num_classes": self.cfg.model.num_classes,
                        "threshold": self.threshold,
+                       "leaf_dtypes": leaf_dtypes,
                        "platforms": list(exp.platforms)}, f)
 
 
@@ -229,10 +262,19 @@ class ExportedPredictor:
 
         with open(os.path.join(path, "fn.jaxexport"), "rb") as f:
             exported = jexport.deserialize(bytearray(f.read()))
-        with np.load(os.path.join(path, "weights.npz")) as z:
-            leaves = [jnp.asarray(z[k]) for k in sorted(z.files)]
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        dtypes = meta.get("leaf_dtypes")
+        with np.load(os.path.join(path, "weights.npz")) as z:
+            keys = sorted(z.files)
+            leaves = []
+            for i, k in enumerate(keys):
+                a = z[k]
+                # bf16 leaves were stored as uint16 bit patterns (npz cannot
+                # hold ml_dtypes extension dtypes); restore via a view
+                if dtypes is not None and dtypes[i] == "bfloat16":
+                    a = a.view(jnp.bfloat16)
+                leaves.append(jnp.asarray(a))
         return cls(exported, leaves, meta)
 
     def _prep(self, imgs: np.ndarray) -> np.ndarray:

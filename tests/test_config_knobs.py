@@ -43,6 +43,9 @@ LIVE = {
     "ModelConfig.remat": "models/backbones.py (per-block nn.remat)",
     "NodeSamplerConfig.pos_budget_per_level": "ops/sampling.py::sample_nodes",
     "NodeSamplerConfig.bg_ratio": "ops/sampling.py (bg_budget_per_level)",
+    "NodeSamplerConfig.bg_budget_per_level": "ops/sampling.py::sample_nodes "
+                                             "(derived property: "
+                                             "pos_budget * bg_ratio)",
     "NodeSamplerConfig.class_threshold": "train/steps.py (target score maps)",
     "NodeSamplerConfig.fpn_strides": "ops/sampling.py::sample_nodes",
     "NodeSamplerConfig.sizes_of_interest": "ops/sampling.py::sample_nodes",
@@ -127,6 +130,12 @@ INFORMATIONAL = {
 
 
 def _leaf_keys(obj, out):
+    # properties count as knobs too: a computed accessor nobody consumes is
+    # exactly as dead as an unused field (r4 review: `num_node_classes` was a
+    # dead property with a false docstring, invisible to the fields-only scan)
+    for name, attr in vars(type(obj)).items():
+        if isinstance(attr, property):
+            out.add(f"{type(obj).__name__}.{name}")
     for f in dataclasses.fields(obj):
         v = getattr(obj, f.name)
         if dataclasses.is_dataclass(v):
