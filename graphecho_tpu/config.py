@@ -70,6 +70,15 @@ class ModelConfig:
     # cycle branches (larger batches/clips on one chip). Identical math; no
     # reference analog (torch would use torch.utils.checkpoint).
     remat: bool = False
+    # Deviation (perf flag, default off = reference behavior): batch the
+    # 2-3 same-geometry full-FPN forwards of the step (source, target, and
+    # temporal-clip frames — `train_camus_echo.py:206-254` runs them as
+    # separate module calls) into ONE apply, raising MXU fill per dispatch.
+    # BatchNorm batch statistics are then computed over the UNION batch
+    # instead of per-forward (and the running stats get one EMA update
+    # instead of 2-3) — a real numerical deviation from the reference's
+    # separate forwards, which is why it is parity-gated behind this flag.
+    fused_fpn_forwards: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,16 +31,34 @@ def synth_image_and_mask(rng: np.random.RandomState, h: int, w: int,
     img = rng.rand(h, w, 1).astype(np.float32) * 0.3
     masks = np.zeros((h, w, n_channels), np.float32)
     start = 1 if bg_channel else 0
+    n_fg = n_channels - start
     fg = np.zeros((h, w), np.float32)
-    for c in range(start, n_channels):
-        cy = rng.uniform(0.3, 0.7) * h
-        cx = rng.uniform(0.3, 0.7) * w
-        ry = rng.uniform(0.12, 0.3) * h
-        rx = rng.uniform(0.12, 0.3) * w
+    for idx, c in enumerate(range(start, n_channels)):
+        if n_fg == 1:
+            cy = rng.uniform(0.3, 0.7) * h
+            cx = rng.uniform(0.3, 0.7) * w
+            ry = rng.uniform(0.12, 0.3) * h
+            rx = rng.uniform(0.12, 0.3) * w
+            bright = 0.5 * rng.uniform(0.5, 1.0)
+        else:
+            # multi-part scenes must be channel-IDENTIFIABLE: each part owns
+            # a quadrant and a brightness band. With the earlier exchangeable
+            # parts (same center/brightness distribution for every channel)
+            # no model can tell which blob belongs to which channel, capping
+            # achievable per-channel dice well below 1 — the r4 cardiac_full
+            # rehearsal plateaued at ~.6 for exactly this reason. Real
+            # CardiacUDA parts (LV/RV/LA/RA) are of course anatomically
+            # distinguishable.
+            qy, qx = divmod(idx % 4, 2)
+            cy = (0.25 + 0.5 * qy + rng.uniform(-0.06, 0.06)) * h
+            cx = (0.25 + 0.5 * qx + rng.uniform(-0.06, 0.06)) * w
+            ry = rng.uniform(0.10, 0.18) * h
+            rx = rng.uniform(0.10, 0.18) * w
+            bright = 0.25 + 0.5 * (idx + 1) / n_fg + rng.uniform(-0.04, 0.04)
         m = _ellipse_mask(h, w, cy, cx, ry, rx)
         masks[..., c] = m
         fg = np.maximum(fg, m)
-        img[..., 0] += 0.5 * m * rng.uniform(0.5, 1.0)
+        img[..., 0] += bright * m
     if bg_channel:
         masks[..., 0] = 1.0 - fg
     return np.clip(img, 0, 1), masks

@@ -39,9 +39,21 @@ def warmup_multistep_schedule(base_lr: float, cfg: ScheduleConfig) -> optax.Sche
     return schedule
 
 
-def build_optimizer(cfg: ComponentConfig) -> optax.GradientTransformation:
+def build_optimizer(cfg: ComponentConfig,
+                    steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """optax transform for one component. `steps_per_epoch > 1` reproduces the
+    reference's per-EPOCH scheduler stepping (`train_camus_echo.py:312-316`)
+    exactly, by flooring the optax update count to the epoch index — the LR is
+    a step function of the epoch, constant within it. (Scaling the schedule
+    constants instead would be equivalent for milestones and constant warmup
+    but would interpolate 'linear' warmup WITHIN an epoch, which the reference
+    never does.)"""
     opt: OptimizerConfig = cfg.opt
-    lr_schedule = warmup_multistep_schedule(opt.lr, cfg.sch)
+    base_schedule = warmup_multistep_schedule(opt.lr, cfg.sch)
+    if steps_per_epoch == 1:
+        lr_schedule = base_schedule
+    else:
+        lr_schedule = lambda count: base_schedule(count // steps_per_epoch)
     parts = []
     if opt.weight_decay:
         # torch couples weight decay into the gradient for both SGD and Adam

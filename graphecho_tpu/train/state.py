@@ -54,26 +54,14 @@ class Optimizers:
 
     def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1):
         # The reference steps its schedulers once per EPOCH
-        # (`train_camus_echo.py:312-316`), so schedule counts are in epochs;
-        # optax counts updates (steps). Scale the schedule accordingly.
-        def scaled(comp):
-            sch = comp.sch
-            return comp.__class__(
-                opt=comp.opt,
-                sch=sch.__class__(
-                    steps=tuple(m * steps_per_epoch for m in sch.steps),
-                    gamma=sch.gamma,
-                    warmup_factor=sch.warmup_factor,
-                    warmup_iters=sch.warmup_iters * steps_per_epoch,
-                    warmup_method=sch.warmup_method,
-                ),
-            )
-
+        # (`train_camus_echo.py:312-316`); build_optimizer floors the optax
+        # update count to the epoch index so the LR is exactly the reference's
+        # step-function-of-epoch (see schedule.build_optimizer).
         t = cfg.train
-        self.net = build_optimizer(scaled(t.net))
-        self.gmn = build_optimizer(scaled(t.gmn))
-        self.dis = build_optimizer(scaled(t.dis))
-        self.tgcn = build_optimizer(scaled(t.tgcn))
+        self.net = build_optimizer(t.net, steps_per_epoch)
+        self.gmn = build_optimizer(t.gmn, steps_per_epoch)
+        self.dis = build_optimizer(t.dis, steps_per_epoch)
+        self.tgcn = build_optimizer(t.tgcn, steps_per_epoch)
 
 
 def create_train_state(cfg: ExperimentConfig, models: Dict[str, Any],

@@ -133,13 +133,49 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
                 mutable=["batch_stats"])
             return logits, feats, mut["batch_stats"]
 
-        pred_s, feats_s, bs = fpn_apply(batch["imgs_source"], bs)
+        # Deviation (ModelConfig.fused_fpn_forwards): run the 2-3 full-FPN
+        # forwards of the step as ONE batched apply. The reference runs them
+        # as separate module calls (`train_camus_echo.py:206-254`), which on
+        # TPU means 2-3 small dispatches instead of one MXU-filling batch.
+        # BN batch stats are then computed over the union batch — the flag is
+        # off by default to preserve exact reference granularity.
+        fused = cfg.model.fused_fpn_forwards and t.graph_matching
+        fused_out = None
+        if fused:
+            parts = [batch["imgs_source"], batch["imgs_target"]]
+            if t.temporal_graph:
+                ts_c, tt_c = batch["temp_imgs_source"], batch["temp_imgs_target"]
+                assert ts_c.shape == tt_c.shape, (
+                    "temporal source/target clip batches must match "
+                    f"({ts_c.shape} vs {tt_c.shape})")
+                ti_ = jnp.concatenate([ts_c, tt_c], axis=0)
+                parts.append(ti_.reshape(ti_.shape[0] * ti_.shape[1],
+                                         *ti_.shape[2:]))
+            assert all(p.shape[1:] == parts[0].shape[1:] for p in parts), (
+                "fused_fpn_forwards requires same-geometry frames across the "
+                f"source/target/temporal branches, got "
+                f"{[p.shape for p in parts]}")
+            preds_cat, feats_cat, bs = fpn_apply(
+                jnp.concatenate(parts, axis=0), bs)
+            bounds = [0]
+            for p in parts:
+                bounds.append(bounds[-1] + p.shape[0])
+            fused_out = [
+                (preds_cat[lo:hi], [f[lo:hi] for f in feats_cat])
+                for lo, hi in zip(bounds[:-1], bounds[1:])
+            ]
+            pred_s, feats_s = fused_out[0]
+        else:
+            pred_s, feats_s, bs = fpn_apply(batch["imgs_source"], bs)
         masks = batch["masks"].astype(jnp.float32)
         losses["seg_loss"] = seg_supervision(pred_s, masks)
 
         grouped = None
         if t.graph_matching:
-            pred_t, feats_t, bs = fpn_apply(batch["imgs_target"], bs)
+            if fused:
+                pred_t, feats_t = fused_out[1]
+            else:
+                pred_t, feats_t, bs = fpn_apply(batch["imgs_target"], bs)
             # target pseudo-label threshold (`graph_matching.py:1026` exposes
             # it as class_threshold; the reference's box branch hardcodes 0.5
             # at `train_camus_echo.py:219` — same default here)
@@ -182,9 +218,12 @@ def make_train_step(cfg: ExperimentConfig, models: Dict[str, Any],
                 "its batch at the midpoint")
             bc, tl = ts_clips.shape[0], ts_clips.shape[1]
             b2 = bc + tt_clips.shape[0]
-            ti = jnp.concatenate([ts_clips, tt_clips], axis=0)
-            flat = ti.reshape(b2 * tl, *ti.shape[2:])
-            preds_, feats_, bs = fpn_apply(flat, bs)
+            if fused:
+                preds_, feats_ = fused_out[2]
+            else:
+                ti = jnp.concatenate([ts_clips, tt_clips], axis=0)
+                flat = ti.reshape(b2 * tl, *ti.shape[2:])
+                preds_, feats_, bs = fpn_apply(flat, bs)
             half = bc * tl
 
             tm = batch["temp_masks"].astype(jnp.float32)

@@ -161,6 +161,11 @@ def main():
                     help="per-block backbone rematerialization "
                          "(ModelConfig.remat): trade ~1 extra backbone "
                          "forward for the intra-block activation memory")
+    ap.add_argument("--fused", action="store_true",
+                    help="ModelConfig.fused_fpn_forwards: one batched FPN "
+                         "apply over the source/target/temporal frames "
+                         "instead of 2-3 separate forwards (BN batch-stat "
+                         "granularity Deviation; see config.py)")
     args = ap.parse_args()
 
     import os

@@ -107,6 +107,23 @@ def main():
                                 args.batch / (lat_q["p50_ms"] / 1e3)),
                             "mask_agreement_vs_bf16": round(agree, 6)}
 
+    # 4. AOT deployment artifact round-trip: export_compiled -> load_exported
+    # serves from StableHLO + weights with NO model code / config tree
+    import tempfile
+
+    from graphecho_tpu.serve import load_exported
+
+    exp_dir = os.path.join(tempfile.gettempdir(), f"ge_export_{args.recipe}")
+    pred.export_compiled(exp_dir)
+    exported = load_exported(exp_dir)
+    masks_exp = exported.predict(frames)
+    agree_exp = float((masks_exp == masks_bf16).mean())
+    lat_e = _latencies(lambda: exported.predict(frames), args.reps)
+    result["aot_exported"] = {**lat_e,
+                              "frames_per_s": round(
+                                  args.batch / (lat_e["p50_ms"] / 1e3)),
+                              "mask_agreement_vs_bf16": round(agree_exp, 6)}
+
     print(json.dumps(result))
 
 

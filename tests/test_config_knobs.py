@@ -41,6 +41,8 @@ LIVE = {
     "ModelConfig.compute_dtype": "train/steps.py::build_models",
     "ModelConfig.vgg_spec": "models/backbones.py::VGG16",
     "ModelConfig.remat": "models/backbones.py (per-block nn.remat)",
+    "ModelConfig.fused_fpn_forwards": "train/steps.py (single batched FPN "
+                                      "apply; Deviation, parity-gated)",
     "NodeSamplerConfig.pos_budget_per_level": "ops/sampling.py::sample_nodes",
     "NodeSamplerConfig.bg_ratio": "ops/sampling.py (bg_budget_per_level)",
     "NodeSamplerConfig.bg_budget_per_level": "ops/sampling.py::sample_nodes "

@@ -140,6 +140,79 @@ def test_train_step_temporal_graph():
                            np.asarray(state.queue_source))
 
 
+def test_fused_fpn_forwards_matches_separate():
+    """ModelConfig.fused_fpn_forwards batches the step's 3 same-geometry FPN
+    applies (source / target / temporal frames) into ONE apply. Its only
+    numerical effect is BN batch-stat granularity (union batch vs
+    per-forward) — so with every frame in every branch IDENTICAL, union-batch
+    statistics equal per-forward statistics and the fused step must reproduce
+    the separate-forwards step: same losses, same parameter updates."""
+    base = tiny_config(graph_matching=True, discriminator=True,
+                       temporal_graph=True)
+    base = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, img_crop=(128, 128)),
+        tgcn=dataclasses.replace(base.tgcn, clip_shape=(2, 4, 4),
+                                 pool_ratios=(8, 4, 2, 1)))
+    models, optimizers, data, batch, state = _setup(base)
+    x0 = batch["imgs_source"][:1]
+    batch = dict(batch)
+    batch["imgs_source"] = jnp.tile(x0, (batch["imgs_source"].shape[0], 1, 1, 1))
+    batch["imgs_target"] = jnp.tile(x0, (batch["imgs_target"].shape[0], 1, 1, 1))
+    for k in ("temp_imgs_source", "temp_imgs_target"):
+        bc, tl = batch[k].shape[:2]
+        batch[k] = jnp.tile(x0[None], (bc, tl, 1, 1, 1))
+
+    fused_cfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, fused_fpn_forwards=True))
+    step_sep = jax.jit(make_train_step(base, models, optimizers))
+    step_fused = jax.jit(make_train_step(fused_cfg, models, optimizers))
+    s1, m1 = step_sep(state, batch)
+    s2, m2 = step_fused(state, batch)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    # parameter-update agreement: rel-L2 + cosine, not elementwise — fp
+    # reduction order differs between the union-batch and per-forward BN
+    # means, and Adam's first step is sign(g)*lr, so near-zero-gradient
+    # elements flip sign under 1e-7 logit noise. Compare the net's REAL-
+    # gradient kernels (the GN-fed biases are pure sign noise on both sides,
+    # same exclusion as test_train_step_parity), and the SGD components
+    # (gmn: linear in the gradient) over every leaf.
+    def dclose(a, b, o, what, rel, cos_min):
+        d1 = (np.asarray(a) - np.asarray(o)).ravel()
+        d2 = (np.asarray(b) - np.asarray(o)).ravel()
+        n2 = np.linalg.norm(d2)
+        if n2 < 1e-9:
+            # mathematically-zero-gradient leaves (e.g. attention key bias:
+            # softmax is shift-invariant in the keys) move only by fp dust
+            assert np.linalg.norm(d1) < 1e-9, what
+            return
+        assert np.linalg.norm(d1 - d2) / n2 < rel, (
+            f"{what}: rel {np.linalg.norm(d1 - d2) / n2:.4f}")
+        assert np.dot(d1, d2) / (np.linalg.norm(d1) * n2) > cos_min, what
+
+    for name in ("toplayer", "latlayer1", "smooth1", "semantic_branch",
+                 "conv2", "conv3"):
+        dclose(s1.net_params[name]["kernel"], s2.net_params[name]["kernel"],
+               state.net_params[name]["kernel"], f"net.{name}",
+               rel=0.2, cos_min=0.98)
+    dclose(s1.net_params["backbone"]["block5_conv3"]["Conv_0"]["kernel"],
+           s2.net_params["backbone"]["block5_conv3"]["Conv_0"]["kernel"],
+           state.net_params["backbone"]["block5_conv3"]["Conv_0"]["kernel"],
+           "net.block5_conv3", rel=0.2, cos_min=0.98)
+    for (p1, a), (_, b), (_, o) in zip(
+            *(jax.tree_util.tree_flatten_with_path(t)[0] for t in
+              (s1.gmn_params, s2.gmn_params, state.gmn_params))):
+        dclose(a, b, o, f"gmn.{jax.tree_util.keystr(p1)}",
+               rel=0.05, cos_min=0.99)
+    # seeds are EMAs of DEEP (post-attention) features, which inherit the
+    # BN-reduction fp-order noise — measured max elementwise rel 1e-3
+    np.testing.assert_allclose(np.asarray(s1.sr_seed), np.asarray(s2.sr_seed),
+                               rtol=5e-3, atol=1e-4)
+
+
 def test_train_step_bf16_every_branch():
     """compute_dtype='bfloat16' (the measured TPU fast path, BENCHMARKS.md)
     through EVERY branch — graph matching + discriminators + temporal + cycle.

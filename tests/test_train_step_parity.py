@@ -1,5 +1,5 @@
 """FULL-TRAIN-STEP transplanted-weight parity vs a torch re-run of the
-reference step (VERDICT r2 next-item #2).
+reference step (VERDICT r2 next-item #2; multi-step trajectory r4 next-item #1).
 
 One complete optimizer step — FPN forwards on source+target, node sampling,
 GModule, 4 per-level discriminators, the joint backward through both GRLs, and
@@ -11,6 +11,17 @@ Every loss must agree to ~1e-3 AND the post-step parameter deltas of
 net/gmn/dis must agree — the delta check catches GRL wiring, optimizer
 hyperparameter, and detach-placement errors that loss-level parity cannot.
 
+`test_multi_step_trajectory_parity` then runs N=12 CONSECUTIVE co-trained
+steps on a shared data stream (fresh images each step, same scene geometry),
+crossing a warmup boundary at epoch 1 and a milestone decay at epoch 2 of the
+per-epoch scheduler (`train_camus_echo.py:312-316`, `utils/lr_scheduler.py:
+9-51`; steps_per_epoch=4). It asserts per-step loss agreement with
+geometrically widening tolerance and end-of-trajectory agreement of the
+CUMULATIVE parameter deltas, BN running statistics, and seed banks — pinning
+exactly the mechanisms 1-step parity cannot: Adam moment accumulation, SGD
+momentum buffers, BN running-stat momentum, per-epoch LR stepping, and
+seed-bank EMA drift.
+
 Conditions that make the static-slot and variable-length pipelines identical
 (same rationale as test_model_parity.py):
   * dropout off (GModuleConfig.dropout = 0);
@@ -19,11 +30,12 @@ Conditions that make the static-slot and variable-length pipelines identical
   * FCOS pos counts <= budgets at every level (no subsampling divergence) and
     per-class counts <= nodes_per_class (no slot truncation) — guaranteed by
     the constructed masks and by biasing the final conv so target score maps
-    are threshold-robust (margin asserted);
+    are threshold-robust (margin asserted, every step);
   * every class present in both domains (no hallucination; the hallucination
     path draws rng and would not be reproducible).
 """
 
+import bisect
 import dataclasses
 
 import jax
@@ -36,11 +48,14 @@ import torch.nn.functional as F
 from test_model_parity import TorchVGGFPN, VGG_WIDTHS, _copy_bn, _copy_conv, _copy_gn
 
 from graphecho_tpu.config import (
+    ComponentConfig,
     DataConfig,
     ExperimentConfig,
     GModuleConfig,
     ModelConfig,
     NodeSamplerConfig,
+    OptimizerConfig,
+    ScheduleConfig,
     TrainConfig,
 )
 from graphecho_tpu.ops.sampling import (
@@ -184,49 +199,11 @@ def _sample_indices(level_shapes, boxes, cfg: NodeSamplerConfig):
     return out
 
 
-def test_full_train_step_parity():
-    B, H, W, C_SEG = 2, 64, 64, 2
-    NPC = 144  # nodes_per_class: >= max per-class count (target cls1 = 128)
-    sampler = NodeSamplerConfig(pos_budget_per_level=128)  # bg budget: 128//8
-    cfg = ExperimentConfig(
-        train=TrainConfig(graph_matching=True, discriminator=True,
-                          temporal_graph=False, cyc_loss=False),
-        data=DataConfig(img_crop=(H, W), batch_size=B, target_batch_mult=1),
-        model=ModelConfig(backbone="VGG16", in_channels=1, num_classes=C_SEG),
-        gmodule=GModuleConfig(num_classes=C_SEG, nodes_per_class=NPC,
-                              dropout=0.0, seed_cluster_min_nodes=100000,
-                              sampler=sampler),
-    )
-    models = build_models(cfg)
-    optimizers = Optimizers(cfg)
-
-    rng = np.random.RandomState(11)
-    x_s = (rng.rand(B, H, W, 1) * 0.6).astype(np.float32)
-    x_t = (rng.rand(B, H, W, 1) * 0.6).astype(np.float32)
-    # channel 1: one rectangle -> box [8,8,39,39]; channel 0 (cardiac BG
-    # channel) = complement -> full-image box. FCOS then labels the rect
-    # interior 1, everything else 0.
-    masks = np.zeros((B, H, W, C_SEG), np.float32)
-    masks[:, 8:40, 8:40, 1] = 1.0
-    masks[..., 0] = 1.0 - masks[..., 1]
-    batch = {"imgs_source": x_s, "masks": masks, "imgs_target": x_t}
-
-    state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
-                               {k: jnp.asarray(v) for k, v in batch.items()})
-    # bias the segmentation head so target score maps threshold robustly:
-    # channel 0 never fires (empty -> full-image fallback box), channel 1
-    # always fires (full-foreground box); raw head logits reach ~±4
-    net_params = jax.tree_util.tree_map(lambda a: a, state.net_params)
-    net_params["conv3"]["bias"] = jnp.asarray([-8.0, 8.0], jnp.float32)
-    state = state.replace(net_params=net_params)
-
-    step = jax.jit(make_train_step(cfg, models, optimizers))
-    new_state, metrics = step(state, {k: jnp.asarray(v)
-                                      for k, v in batch.items()})
-    metrics = {k: float(v) for k, v in metrics.items()}
-
-    # ------------------------------------------------------------ torch side
-    tm = TorchVGGFPN(num_classes=C_SEG).train()
+def _build_torch_models(state, num_classes):
+    """Transplant the JAX TrainState weights into independent torch modules:
+    the FPN (`models/fpnseg.py:309-444`), the GModule raw param tree, and the
+    four per-level discriminators (`fpnseg.py:447-511`)."""
+    tm = TorchVGGFPN(num_classes=num_classes).train()
     p, bs = state.net_params, state.net_batch_stats
     bb_p, bb_s = p["backbone"], bs["backbone"]
     for bi, (width, n_convs) in enumerate(VGG_WIDTHS):
@@ -251,17 +228,33 @@ def test_full_train_step_parity():
             _copy_gn(d.norms[i], dp[f"gn_{i}"])
         _copy_conv(d.cls_logits, dp["cls_logits"])
         tdis[lvl] = d.train()
+    return tm, gp, tdis
 
+
+def _torch_full_step_forward(tm, gp, tdis, sampler, x_s, x_t, masks,
+                             sr_seed, tg_seed, num_classes, nodes_per_class,
+                             is_camus=False):
+    """The complete torch restatement of the reference train-step forward
+    (`train_camus_echo.py:206-299` + `graph_matching.py:244-352`), reusable
+    across consecutive steps: takes the CURRENT seed banks as torch tensors
+    and returns `(losses, total, new_sr_seed, new_tg_seed)` with `total`
+    carrying the autograd graph for the joint backward."""
+    C_SEG = num_classes
     xs = torch.from_numpy(x_s).permute(0, 3, 1, 2)
     xt = torch.from_numpy(x_t).permute(0, 3, 1, 2)
     tmasks = torch.from_numpy(masks).permute(0, 3, 1, 2)
 
     pred_s, feats_s = tm(xs)
-    seg = _dice(pred_s, tmasks) + F.binary_cross_entropy_with_logits(
-        pred_s, tmasks)
+    if is_camus:
+        seg = 0.1 * (_dice(pred_s[:, :1], tmasks[:, :1])
+                     + F.binary_cross_entropy_with_logits(
+                         pred_s[:, :1], tmasks[:, :1])) / 2
+    else:
+        seg = _dice(pred_s, tmasks) + F.binary_cross_entropy_with_logits(
+            pred_s, tmasks)
     pred_t, feats_t = tm(xt)
     # threshold margin: logits must sit far from 0 so jax/torch agree bitwise
-    # on the score maps (the ±3 conv3 bias guarantees it for small features)
+    # on the score maps (the conv3 bias guarantees it for small features)
     assert pred_t.abs().min().item() > 0.5, "score-map threshold too tight"
     score = (torch.sigmoid(pred_t) > 0.5).float().detach()
 
@@ -289,7 +282,7 @@ def test_full_train_step_parity():
     for labv, vv in ((lab_s, val_s), (lab_t, val_t)):
         for c in range(C_SEG):
             n_c = int(((labv == c) & vv).sum())
-            assert 0 < n_c <= NPC, (c, n_c)
+            assert 0 < n_c <= nodes_per_class, (c, n_c)
 
     # --- GModule torch re-run (reference `_forward_train`, `:244-352`),
     # dense over the valid nodes only ---
@@ -322,13 +315,13 @@ def test_full_train_step_parity():
         out = []
         for c in range(C_SEG):
             bsn = nodes[glab == c].detach().mean(0)
-            s = torch.from_numpy(np.asarray(seed[c]).copy())
+            s = seed[c]
             cos = F.cosine_similarity(bsn[None], s[None])[0]
             out.append(s * cos + bsn * (1 - cos))
         return torch.stack(out)
 
-    want_sr = update_seed(n1, gl1, state.sr_seed)
-    want_tg = update_seed(n2, gl2, state.tg_seed)
+    new_sr = update_seed(n1, gl1, sr_seed)
+    new_tg = update_seed(n2, gl2, tg_seed)
 
     n2e, _ = _mha(n1, n1, n2, gp["cross_domain_graph"])
     n1e, _ = _mha(n2, n2, n1, gp["cross_domain_graph"])
@@ -355,30 +348,125 @@ def test_full_train_step_parity():
     r = e1.detach() @ m - m @ e2.detach()
     mat_qu = torch.abs(r).mean()
 
-    adv = {lvl: 0.1 * tdis[lvl](fs, ft)
-           for lvl, fs, ft in zip(("p2", "p3", "p4", "p5"), feats_s, feats_t)}
+    losses = {"seg_loss": seg, "dis_loss": dis_loss, "node_loss": node_loss,
+              "mat_loss_aff": mat_aff, "mat_loss_qu": mat_qu}
+    for lvl, fs, ft in zip(("p2", "p3", "p4", "p5"), feats_s, feats_t):
+        losses[f"loss_adv_{lvl}"] = 0.1 * tdis[lvl](fs, ft)
+
+    total = sum(losses.values())
+    return losses, total, new_sr, new_tg
+
+
+# per-key rtol multipliers: the Sinkhorn-normalized matching losses pass a
+# 20-iteration log-domain solve where fp differences amplify
+_LOSS_RTOL_MULT = {"mat_loss_aff": 2.0, "mat_loss_qu": 2.0}
+
+
+def _assert_losses_close(metrics, tlosses, rtol=1e-3, atol=1e-5):
+    for key, tval in tlosses.items():
+        np.testing.assert_allclose(
+            metrics[key], float(tval.detach()),
+            rtol=rtol * _LOSS_RTOL_MULT.get(key, 1.0), atol=atol,
+            err_msg=f"loss {key!r}")
+
+
+def delta_close(dj, dt, what, rel=0.05, cos_min=0.999):
+    """Robust delta agreement: relative L2 error + direction. Elementwise
+    allclose is too brittle for Adam's first step (update ~ sign(g)·lr, so
+    near-zero-gradient elements are sign-noise; rel=0.2 for Adam tensors
+    covers the ~0.1% of elements whose gradient sign is fp-noise, while
+    SGD deltas are LINEAR in the gradient and held to rel=0.02); the
+    L2+cosine criterion still catches every wiring/hyperparameter/detach
+    error — those flip or rescale whole tensors, not isolated elements
+    (GRL sign error -> cos ~ -1; wrong warmup factor -> rel ~ 2)."""
+    dj, dt = np.asarray(dj).ravel(), dt.numpy().ravel()
+    nt = np.linalg.norm(dt)
+    assert nt > 0, f"{what}: torch param did not move (detached?)"
+    rel_err = np.linalg.norm(dj - dt) / nt
+    assert rel_err < rel, f"{what}: delta rel L2 err {rel_err:.4f}"
+    cos = np.dot(dj, dt) / (np.linalg.norm(dj) * nt)
+    assert cos > cos_min, f"{what}: delta cosine {cos:.4f}"
+
+
+def _make_cfg(sch=None, lr_net=3e-4, lr_heads=2.5e-3):
+    """The shared parity scene config: VGG backbone, 64², 2 classes."""
+    B, H, W, C_SEG = 2, 64, 64, 2
+    NPC = 144  # nodes_per_class: >= max per-class count (target cls1 = 128)
+    sampler = NodeSamplerConfig(pos_budget_per_level=128)  # bg budget: 128//8
+    comp = {}
+    if sch is not None:
+        comp = dict(
+            net=ComponentConfig(opt=OptimizerConfig("Adam", lr_net), sch=sch),
+            gmn=ComponentConfig(opt=OptimizerConfig("SGD", lr_heads), sch=sch),
+            dis=ComponentConfig(opt=OptimizerConfig("SGD", lr_heads), sch=sch),
+        )
+    cfg = ExperimentConfig(
+        train=TrainConfig(graph_matching=True, discriminator=True,
+                          temporal_graph=False, cyc_loss=False, **comp),
+        data=DataConfig(img_crop=(H, W), batch_size=B, target_batch_mult=1),
+        model=ModelConfig(backbone="VGG16", in_channels=1, num_classes=C_SEG),
+        gmodule=GModuleConfig(num_classes=C_SEG, nodes_per_class=NPC,
+                              dropout=0.0, seed_cluster_min_nodes=100000,
+                              sampler=sampler),
+    )
+    return cfg, (B, H, W, C_SEG, NPC)
+
+
+def _make_scene(B, H, W, C_SEG, seed=11):
+    """Fixed scene geometry: channel 1 one rectangle -> box [8,8,39,39];
+    channel 0 (cardiac BG channel) = complement -> full-image box. FCOS then
+    labels the rect interior 1, everything else 0."""
+    rng = np.random.RandomState(seed)
+    x_s = (rng.rand(B, H, W, 1) * 0.6).astype(np.float32)
+    x_t = (rng.rand(B, H, W, 1) * 0.6).astype(np.float32)
+    masks = np.zeros((B, H, W, C_SEG), np.float32)
+    masks[:, 8:40, 8:40, 1] = 1.0
+    masks[..., 0] = 1.0 - masks[..., 1]
+    return x_s, x_t, masks
+
+
+def _biased_state(cfg, models, optimizers, batch):
+    """Init state, then bias the segmentation head so target score maps
+    threshold robustly: channel 0 never fires (empty -> full-image fallback
+    box), channel 1 always fires (full-foreground box); raw head logits reach
+    ~±4."""
+    state = create_train_state(cfg, models, optimizers, jax.random.PRNGKey(0),
+                               {k: jnp.asarray(v) for k, v in batch.items()})
+    net_params = jax.tree_util.tree_map(lambda a: a, state.net_params)
+    net_params["conv3"]["bias"] = jnp.asarray([-8.0, 8.0], jnp.float32)
+    return state.replace(net_params=net_params)
+
+
+def test_full_train_step_parity():
+    cfg, (B, H, W, C_SEG, NPC) = _make_cfg()
+    sampler = cfg.gmodule.sampler
+    models = build_models(cfg)
+    optimizers = Optimizers(cfg)
+
+    x_s, x_t, masks = _make_scene(B, H, W, C_SEG)
+    batch = {"imgs_source": x_s, "masks": masks, "imgs_target": x_t}
+    state = _biased_state(cfg, models, optimizers, batch)
+
+    step = jax.jit(make_train_step(cfg, models, optimizers))
+    new_state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------ torch side
+    tm, gp, tdis = _build_torch_models(state, C_SEG)
+    sr0 = torch.from_numpy(np.asarray(state.sr_seed).copy())
+    tg0 = torch.from_numpy(np.asarray(state.tg_seed).copy())
+    tlosses, total, want_sr, want_tg = _torch_full_step_forward(
+        tm, gp, tdis, sampler, x_s, x_t, masks, sr0, tg0, C_SEG, NPC)
 
     # ---------------------------------------------------------- loss parity
-    np.testing.assert_allclose(metrics["seg_loss"], float(seg.detach()),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(metrics["dis_loss"], float(dis_loss.detach()),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(metrics["node_loss"], float(node_loss.detach()),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(metrics["mat_loss_aff"], float(mat_aff.detach()),
-                               rtol=2e-3, atol=1e-5)
-    np.testing.assert_allclose(metrics["mat_loss_qu"], float(mat_qu.detach()),
-                               rtol=2e-3, atol=1e-5)
-    for lvl in ("p2", "p3", "p4", "p5"):
-        np.testing.assert_allclose(metrics[f"loss_adv_{lvl}"],
-                                   float(adv[lvl].detach()), rtol=1e-3, atol=1e-5)
+    _assert_losses_close(metrics, tlosses)
     np.testing.assert_allclose(np.asarray(new_state.sr_seed),
                                want_sr.numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(new_state.tg_seed),
                                want_tg.numpy(), atol=1e-3)
 
     # ------------------------------------- joint backward + optimizer step
-    total = seg + dis_loss + node_loss + mat_aff + mat_qu + sum(adv.values())
     total.backward()
 
     # warmup step 0: constant warmup factor 1/3 (`utils/lr_scheduler.py:9-51`)
@@ -401,23 +489,6 @@ def test_full_train_step_parity():
     opt_net.step()
     opt_gmn.step()
     opt_dis.step()
-
-    def delta_close(dj, dt, what, rel=0.05, cos_min=0.999):
-        """Robust delta agreement: relative L2 error + direction. Elementwise
-        allclose is too brittle for Adam's first step (update ~ sign(g)·lr, so
-        near-zero-gradient elements are sign-noise; rel=0.2 for Adam tensors
-        covers the ~0.1% of elements whose gradient sign is fp-noise, while
-        SGD deltas are LINEAR in the gradient and held to rel=0.02); the
-        L2+cosine criterion still catches every wiring/hyperparameter/detach
-        error — those flip or rescale whole tensors, not isolated elements
-        (GRL sign error -> cos ~ -1; wrong warmup factor -> rel ~ 2)."""
-        dj, dt = np.asarray(dj).ravel(), dt.numpy().ravel()
-        nt = np.linalg.norm(dt)
-        assert nt > 0, f"{what}: torch param did not move (detached?)"
-        rel_err = np.linalg.norm(dj - dt) / nt
-        assert rel_err < rel, f"{what}: delta rel L2 err {rel_err:.4f}"
-        cos = np.dot(dj, dt) / (np.linalg.norm(dj) * nt)
-        assert cos > cos_min, f"{what}: delta cosine {cos:.4f}"
 
     # net deltas: FPN head convs + a backbone conv (adversarial-gradient path)
     def jd(new, old):
@@ -478,6 +549,199 @@ def test_full_train_step_parity():
             # (cos_min=0.999) stays strict
             delta_close(jd(nd[jname][tail], od[jname][tail]), dt,
                         f"dis.{lvl}.{jname}", rel=0.05)
+
+
+def _ref_epoch_lr_factor(epoch, sch: ScheduleConfig):
+    """The reference WarmupMultiStepLR factor at epoch granularity
+    (`utils/lr_scheduler.py:37-51`; stepped per epoch,
+    `train_camus_echo.py:312-316`)."""
+    wf = 1.0
+    if epoch < sch.warmup_iters:
+        if sch.warmup_method == "constant":
+            wf = sch.warmup_factor
+        else:
+            alpha = epoch / sch.warmup_iters
+            wf = sch.warmup_factor * (1 - alpha) + alpha
+    return wf * sch.gamma ** bisect.bisect_right(list(sch.steps), epoch)
+
+
+def test_multi_step_trajectory_parity():
+    """N=12 consecutive co-trained steps (3 epochs x 4 steps), lockstep
+    torch-vs-jax on a shared data stream. The schedule crosses the warmup end
+    at epoch 1 and a milestone decay at epoch 2, so the trajectory pins:
+    per-epoch LR stepping, Adam moment accumulation, SGD momentum buffers,
+    BN running-stat momentum, and seed-bank EMA drift.
+
+    Base LRs are scaled 10x DOWN from the reference values: at the full
+    3e-4/2.5e-3, 12 Adam steps move the target logits by more than the ±8
+    conv3 bias and the score-map threshold margin collapses (measured
+    min|logit| 0.003 at step ~10) — the scene then stops being bitwise
+    reproducible across frameworks. The optimizer/scheduler MECHANISMS under
+    test are LR-scale-invariant (warmup factor, milestone decay, moment and
+    momentum accumulation all apply multiplicatively)."""
+    N_STEPS, SPE = 12, 4
+    LR_NET, LR_HEADS = 3e-5, 2.5e-4
+    sch = ScheduleConfig(steps=(2,), gamma=0.1, warmup_factor=1.0 / 3,
+                         warmup_iters=1, warmup_method="constant")
+    cfg, (B, H, W, C_SEG, NPC) = _make_cfg(sch=sch, lr_net=LR_NET,
+                                           lr_heads=LR_HEADS)
+    sampler = cfg.gmodule.sampler
+    models = build_models(cfg)
+    optimizers = Optimizers(cfg, steps_per_epoch=SPE)
+
+    x_s0, x_t0, masks = _make_scene(B, H, W, C_SEG)
+    batch0 = {"imgs_source": x_s0, "masks": masks, "imgs_target": x_t0}
+    state = _biased_state(cfg, models, optimizers, batch0)
+    state0 = state
+
+    step = jax.jit(make_train_step(cfg, models, optimizers))
+
+    tm, gp, tdis = _build_torch_models(state, C_SEG)
+    opt_net = torch.optim.Adam(tm.parameters(), lr=1.0,
+                               betas=(0.9, 0.999), weight_decay=1e-4)
+    gmn_leaves = [t for t in jax.tree_util.tree_leaves(gp)]
+    opt_gmn = torch.optim.SGD(gmn_leaves, lr=1.0, momentum=0.9,
+                              weight_decay=1e-4)
+    dis_leaves = [q for d in tdis.values() for q in d.parameters()]
+    opt_dis = torch.optim.SGD(dis_leaves, lr=1.0, momentum=0.9,
+                              weight_decay=1e-4)
+
+    before = {
+        "net": {n: q.detach().clone() for n, q in tm.named_parameters()},
+        "gmn": jax.tree_util.tree_map(lambda q: q.detach().clone(), gp),
+        "dis": {lvl: {n: q.detach().clone()
+                      for n, q in tdis[lvl].named_parameters()}
+                for lvl in tdis},
+    }
+
+    sr = torch.from_numpy(np.asarray(state.sr_seed).copy())
+    tg = torch.from_numpy(np.asarray(state.tg_seed).copy())
+
+    stream = np.random.RandomState(7)
+    for k in range(N_STEPS):
+        # shared data stream: fresh images each step, fixed scene geometry
+        x_s = (stream.rand(B, H, W, 1) * 0.6).astype(np.float32)
+        x_t = (stream.rand(B, H, W, 1) * 0.6).astype(np.float32)
+        batch = {"imgs_source": x_s, "masks": masks, "imgs_target": x_t}
+
+        state, metrics = step(state, {kk: jnp.asarray(v)
+                                      for kk, v in batch.items()})
+        metrics = {kk: float(v) for kk, v in metrics.items()}
+
+        tlosses, total, sr, tg = _torch_full_step_forward(
+            tm, gp, tdis, sampler, x_s, x_t, masks, sr, tg, C_SEG, NPC)
+
+        # per-step loss agreement with geometrically widening tolerance
+        widen = 1.4 ** k
+        _assert_losses_close(metrics, tlosses, rtol=1e-3 * widen,
+                             atol=1e-5 * widen)
+
+        # reference per-epoch scheduler: LR is a step function of the epoch
+        epoch = k // SPE
+        factor = _ref_epoch_lr_factor(epoch, sch)
+        for opt, base in ((opt_net, LR_NET), (opt_gmn, LR_HEADS),
+                          (opt_dis, LR_HEADS)):
+            for group in opt.param_groups:
+                group["lr"] = base * factor
+        opt_net.zero_grad()
+        opt_gmn.zero_grad()
+        opt_dis.zero_grad()
+        total.backward()
+        opt_net.step()
+        opt_gmn.step()
+        opt_dis.step()
+
+    # sanity: the LR actually moved across the trajectory (boundaries hit)
+    assert _ref_epoch_lr_factor(0, sch) != _ref_epoch_lr_factor(1, sch)
+    assert _ref_epoch_lr_factor(1, sch) != _ref_epoch_lr_factor(2, sch)
+
+    # ------------------- end-of-trajectory CUMULATIVE delta agreement ------
+    def jd(new, old):
+        return np.asarray(new) - np.asarray(old)
+
+    npn, opn = state.net_params, state0.net_params
+    for name in ("toplayer", "latlayer1", "smooth1", "semantic_branch",
+                 "conv2", "conv3"):
+        dt = (tm.state_dict()[f"{name}.weight"]
+              - before["net"][f"{name}.weight"])
+        delta_close(jd(npn[name]["kernel"], opn[name]["kernel"]),
+                    dt.permute(2, 3, 1, 0), f"net.{name}.kernel(traj)",
+                    rel=0.2, cos_min=0.98)
+    dt = (tm.state_dict()["blocks.4.6.weight"]
+          - before["net"]["blocks.4.6.weight"])  # block5_conv3
+    delta_close(jd(npn["backbone"]["block5_conv3"]["Conv_0"]["kernel"],
+                   opn["backbone"]["block5_conv3"]["Conv_0"]["kernel"]),
+                dt.permute(2, 3, 1, 0), "net.backbone.block5_conv3(traj)",
+                rel=0.2, cos_min=0.98)
+
+    ng, og = state.gmn_params, state0.gmn_params
+    for path in (("head_in_1", "kernel"), ("head_in_2", "kernel"),
+                 ("node_cls_1", "kernel"), ("node_cls_2", "kernel"),
+                 ("node_dis_0", "kernel"), ("node_dis_out", "kernel"),
+                 ("intra_domain_graph", "linear_k", "kernel"),
+                 ("intra_domain_graph", "linear_final", "kernel"),
+                 ("cross_domain_graph", "linear_q", "kernel"),
+                 ("node_affinity", "project_sr", "kernel"),
+                 ("node_affinity", "fc1_wx"), ("node_affinity", "fc2_w")):
+        delta_close(jd(_dig(ng, path), _dig(og, path)),
+                    _dig(gp, path).detach() - _dig(before["gmn"], path),
+                    "gmn.traj." + "/".join(path), rel=0.05, cos_min=0.998)
+
+    for lvl in ("p2", "p5"):
+        nd, od = state.dis_params[lvl], state0.dis_params[lvl]
+        for tname, jname, tail in (
+                ("tower.0.weight", "dis_tower_0", "kernel"),
+                ("cls_logits.weight", "cls_logits", "kernel"),
+                ("norms.1.weight", "gn_1", "scale")):
+            dt = (tdis[lvl].state_dict()[tname] - before["dis"][lvl][tname])
+            if dt.ndim == 4:
+                dt = dt.permute(2, 3, 1, 0)
+            # GN-scale grads pass 4 normalizations where fp noise amplifies;
+            # over 12 compounding steps the 256-element scale vector measured
+            # cosine 0.9975 with everything else green — conv kernels stay at
+            # the strict threshold
+            cm = 0.995 if tail == "scale" else 0.998
+            delta_close(jd(nd[jname][tail], od[jname][tail]), dt,
+                        f"dis.{lvl}.{jname}(traj)", rel=0.08, cos_min=cm)
+
+    # ------------- BN running statistics after 12 train-mode forwards ------
+    # flax momentum=0.9 == torch momentum=0.1; torch uses the UNBIASED batch
+    # var in the running update while flax uses the biased one — at
+    # n=B*H*W=8192 elements that is a 1.2e-4 relative deviation, inside rtol.
+    # Norm-based criterion: deep-layer batch means inherit the (fp-noise)
+    # divergence of ALL upstream params, so elementwise tolerances fail on
+    # near-zero channels by step 12 (measured: block5 mean drift ~3e-3 abs on
+    # O(0.3) values). A momentum/semantics error (flax 0.9 vs torch 0.1
+    # conventions crossed) shows up as an O(1) relative-norm error; 1% pins it.
+    #
+    # Documented deviation, pinned EXACTLY: torch feeds the UNBIASED batch var
+    # (factor n/(n-1)) into the running update while flax uses the biased one.
+    # At block5 (4x4 spatial, n = B*4*4 = 32) that is 3.2% — so the torch
+    # running var must equal decay*init + (jax_var - decay*init)*n/(n-1)
+    # (both inits are ones; EMA is linear so the correction distributes).
+    bb = state.net_batch_stats["backbone"]
+    n_updates = 2 * N_STEPS  # two train-mode forwards (src+tgt) per step
+    decay = 0.9 ** n_updates
+    for blk, tbn, n_elems in (("block1_conv1", tm.blocks[0][1], B * H * W),
+                              ("block5_conv3", tm.blocks[4][7],
+                               B * (H // 16) * (W // 16))):
+        dj = np.asarray(bb[blk]["BatchNorm_0"]["mean"])
+        dt = tbn.running_mean.detach().numpy()
+        rel = np.linalg.norm(dj - dt) / np.linalg.norm(dt)
+        assert rel < 0.01, f"{blk} running_mean: rel norm err {rel:.4f}"
+
+        vj = np.asarray(bb[blk]["BatchNorm_0"]["var"])
+        vt = tbn.running_var.detach().numpy()
+        expected_t = decay * 1.0 + (vj - decay * 1.0) * n_elems / (n_elems - 1)
+        rel = np.linalg.norm(expected_t - vt) / np.linalg.norm(vt)
+        assert rel < 0.01, (
+            f"{blk} running_var (unbiased-corrected): rel norm err {rel:.4f}")
+
+    # ----------------------- seed-bank EMA drift after 12 updates ----------
+    np.testing.assert_allclose(np.asarray(state.sr_seed), sr.numpy(),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.tg_seed), tg.numpy(),
+                               atol=2e-3)
 
 
 def _dig(tree, path):
