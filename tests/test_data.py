@@ -366,3 +366,60 @@ def test_echo_normalized(echo_root):
     c_raw, _, _, _ = raw[0]
     c_scaled, _, _, _ = scaled[0]
     np.testing.assert_allclose(c_raw, c_scaled * 255.0, rtol=1e-5)
+
+
+@pytest.fixture
+def cardiac_tree(tmp_path):
+    """An on-disk CardiacUDA-style tree: root/<site>/<patient>/*.nii.gz with
+    `_gt` label files, for the infos.npy builder."""
+    from graphecho_tpu.data.formats import write_nifti
+
+    rng = np.random.RandomState(11)
+    root = tmp_path / "cardiac"
+    for site, pids in (("Site_G", ["0001", "0002"]), ("Site_R", ["0101"])):
+        for pid in pids:
+            pdir = root / site / pid
+            pdir.mkdir(parents=True)
+            for view in ("1", "4"):
+                img = (rng.rand(48, 52, 10) * 255).astype(np.int16)
+                mask = np.zeros((48, 52, 10), np.int16)
+                mask[8:40, 8:40, :] = 1
+                write_nifti(str(pdir / f"{pid}_{view}.nii.gz"), img)
+                write_nifti(str(pdir / f"{pid}_{view}_gt.nii.gz"), mask)
+    # an image with no label -> must warn, not crash
+    write_nifti(str(root / "Site_G" / "0001" / "0001_2.nii.gz"),
+                np.zeros((8, 8, 4), np.int16))
+    return str(root)
+
+
+def test_build_infos(cardiac_tree, tmp_path):
+    from graphecho_tpu.data.infos import build_infos, main
+
+    infos, warnings = build_infos(cardiac_tree)
+    assert set(infos) == {"Site_G/0001", "Site_G/0002", "Site_R/0101"}
+    entry = infos["Site_G/0001"]
+    assert entry["dataset_name"] == "Site_G"
+    assert set(entry["views_images"]) == {"1", "4"}
+    assert set(entry["views_labels"]) == {"1", "4"}
+    assert entry["views_images"]["1"].endswith("0001_1.nii.gz")
+    assert entry["views_labels"]["1"].endswith("0001_1_gt.nii.gz")
+    assert any("image without label" in w for w in warnings)
+
+    # sites filter
+    only_r, _ = build_infos(cardiac_tree, sites=["Site_R"])
+    assert set(only_r) == {"Site_R/0101"}
+
+    # CLI writes an npy that round-trips through the reference's own idiom
+    # (`train_cardiac_uda.py:49`: np.load(...).item())
+    out = str(tmp_path / "infos.npy")
+    assert main(["--root", cardiac_tree, "--out", out]) == 0
+    loaded = np.load(out, allow_pickle=True).item()
+    assert loaded.keys() == infos.keys()
+
+    # and the loaded dict drives the real dataset end to end
+    ds = SegCardiacUDADataset(loaded, root="", is_train=True,
+                              set_select=("Site_G",), view_num=("1",),
+                              spatial_size=40, crop_size=32, seed=0)
+    img, masks, _, _ = ds[0]
+    assert img.shape == (32, 32, 1)
+    assert masks.shape == (32, 32, 3)
