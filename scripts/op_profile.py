@@ -27,22 +27,46 @@ from profile_train_step import _cfg, _setup  # noqa: E402
 
 
 def _parse_hlo_stats(xplane_path: str):
-    """xplane -> list of dicts (one per HLO op) via tensorboard_plugin_profile."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    """xplane -> list of dicts (one per HLO op), parsed straight from the
+    XSpace proto. (tensorboard_plugin_profile's hlo_stats converter is broken
+    against this box's TF build — its pywrap lacks `xspace_to_tools_data` —
+    so we aggregate the device-plane op events ourselves: same numbers, no
+    converter.)"""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = rttd.xspace_to_tool_data([xplane_path], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = json.loads(data)
-    # gviz-style: {"cols": [...], "rows": [{"c": [{"v": ...}, ...]}, ...]}
-    if isinstance(rows, dict) and "rows" in rows:
-        cols = [c.get("label") or c.get("id") for c in rows["cols"]]
-        out = []
-        for r in rows["rows"]:
-            out.append({c: (cell or {}).get("v") for c, cell in
-                        zip(cols, r["c"])})
-        return out
-    return rows
+    space = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        space.ParseFromString(f.read())
+
+    per_op = {}
+    for plane in space.planes:
+        pname = plane.name.lower()
+        if "host" in pname or ("tpu" not in pname and "device" not in pname):
+            continue
+        stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
+        # "XLA Ops" lines carry one event per HLO-op execution; "XLA Modules"
+        # lines span whole executables and would double-count — skip them.
+        lines = [ln for ln in plane.lines if "op" in ln.name.lower()]
+        if not lines:
+            lines = [ln for ln in plane.lines
+                     if "module" not in ln.name.lower()]
+        for line in lines:
+            for ev in line.events:
+                meta = plane.event_metadata[ev.metadata_id]
+                name = meta.display_name or meta.name
+                cat = None
+                for st in tuple(ev.stats) + tuple(meta.stats):
+                    if stat_names.get(st.metadata_id) == "hlo_category":
+                        cat = (st.str_value or
+                               stat_names.get(st.ref_value, None))
+                row = per_op.setdefault(
+                    name, {"hlo op name": name, "category": cat,
+                           "occurrences": 0, "total_time_us": 0.0})
+                row["occurrences"] += max(int(ev.num_occurrences), 1)
+                row["total_time_us"] += ev.duration_ps / 1e6
+                if cat and not row["category"]:
+                    row["category"] = cat
+    return sorted(per_op.values(), key=lambda r: -r["total_time_us"])
 
 
 def main():
