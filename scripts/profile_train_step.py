@@ -181,6 +181,9 @@ def main():
     if args.remat:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, remat=True))
+    if args.fused:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fused_fpn_forwards=True))
     variants = {}
 
     step, state, batch = _setup(cfg)
