@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-5 chip-side experiment sequence (run serially; 1-core box rules in
 # CLAUDE.md). Produces:
-#   /tmp/rehearsal_cardiac_r5a.jsonl  — 1200-step cardiac_full curve (clean)
+#   /tmp/rehearsal_cardiac_r5a.jsonl  — 1,000-step cardiac_full curve (clean)
 #   /tmp/rehearsal_cardiac_r5b.jsonl  — same, SIGTERM@611 + resume
 #   /tmp/camus_profile_{base,fused}.log — fused-FPN experiment
 #   /tmp/op_profile_camus.json        — per-op HLO profile
@@ -11,10 +11,12 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_tpu_cache
 cd /root/repo
 
-# 1a. decisive cardiac_full rehearsal: 30 epochs x 40 steps = 1200 steps
+# 1a. decisive cardiac_full rehearsal: 25 epochs x 40 steps = 1,000 steps
+# (this is the run BENCHMARKS.md records; the original invocation asked for
+# 30 epochs and the `timeout 5400` truncated it at 25 — 25 is the artifact)
 rm -rf /tmp/rehearsal_cardiac_r5a /tmp/rehearsal_cardiac_r5a.jsonl
 timeout 5400 python scripts/train_rehearsal.py --recipe cardiac_full --bf16 \
-  --epochs 30 --steps-per-epoch 40 --ckpt /tmp/rehearsal_cardiac_r5a \
+  --epochs 25 --steps-per-epoch 40 --ckpt /tmp/rehearsal_cardiac_r5a \
   --out /tmp/rehearsal_cardiac_r5a.jsonl
 
 # 1b. SIGTERM/resume rehearsal: same stream, SIGTERM mid-epoch at step 611,

@@ -37,6 +37,9 @@ def main():
     args = ap.parse_args()
 
     rows = load(args.curve)
+    if not rows:
+        raise SystemExit(f"no epoch rows in {args.curve} — the rehearsal "
+                         "died before its first epoch (check its log)")
     shown = rows[:: args.every]
     if rows and rows[-1] is not shown[-1]:
         shown.append(rows[-1])
@@ -74,6 +77,13 @@ def main():
             print(f"  step {step}: uninterrupted {a} vs resumed {r}")
         if mismatches:
             raise SystemExit(1)
+        if n_dice_only > 1:
+            # The documented artifact is exactly ONE split epoch (the one the
+            # SIGTERM landed in). More than one dice-exact/loss-mismatched row
+            # means resume corrupted the train-loss accumulation — fail.
+            raise SystemExit(
+                f"{n_dice_only} dice-only rows; the split-epoch artifact "
+                "accounts for at most 1")
 
 
 if __name__ == "__main__":
