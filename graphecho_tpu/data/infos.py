@@ -153,7 +153,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="print the summary, write nothing")
     args = ap.parse_args(argv)
 
-    tokens = tuple(args.mask_tokens) if args.mask_tokens else DEFAULT_MASK_TOKENS
+    # `--mask-tokens` with zero values means "no stems are labels" — only an
+    # OMITTED flag (None) falls back to the defaults.
+    tokens = (DEFAULT_MASK_TOKENS if args.mask_tokens is None
+              else tuple(args.mask_tokens))
     infos, warnings = build_infos(args.root, sites=args.sites,
                                   mask_tokens=tokens)
     for w in warnings:

@@ -77,9 +77,11 @@ class GRAPHHead(nn.Module):
         n_groups = {"GN": 32, "IN": self.channels}.get(self.norm)
         # 'IN' mirrors torch nn.InstanceNorm2d's affine=False default
         # (reference `graph_matching.py:78`); 'GN' keeps the learnable
-        # scale/bias torch nn.GroupNorm defaults to.
+        # scale/bias torch nn.GroupNorm defaults to. epsilon=1e-5 matches
+        # torch's default for both (flax defaults to 1e-6).
         affine = self.norm != "IN"
         norms = [nn.GroupNorm(num_groups=n_groups, dtype=self.dtype,
+                              epsilon=1e-5,
                               use_scale=affine, use_bias=affine,
                               name=f"gn_{i}")
                  if n_groups is not None else None

@@ -59,7 +59,7 @@ def _pairwise_sq_dists(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
-                     m: int = 24
+                     m: int = 24, probe_margin: float = 0.05
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fiedler vector of a symmetric normalized Laplacian via m-step Lanczos
     with deflation of the analytic null vector v0 = D^{1/2}·1 (L_sym·v0 = 0
@@ -84,7 +84,12 @@ def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
     solve-not-ok (plain-mean fallback). The probe is ~m2/m of the primary
     solve's cost; it is a detector, not a complete certificate (a complement
     direction mixing high modes can hide a low eigenvalue from a short
-    probe), which is why it gates quality rather than replacing the solve."""
+    probe), which is why it gates quality rather than replacing the solve.
+    `probe_margin` is how far BELOW theta the probe's Ritz value must land
+    to count as "missed" — callers pass their residual tolerance so the two
+    quality checks share one resolution scale (a missed eigenvalue within
+    `probe_margin` of theta is by the same token within the tolerance the
+    caller already accepts on the residual side)."""
     n = lap.shape[0]
     v0 = jnp.sqrt(jnp.maximum(deg, 0.0)) * fvalid
     v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12)
@@ -178,7 +183,7 @@ def _fiedler_lanczos(lap: jnp.ndarray, deg: jnp.ndarray, fvalid: jnp.ndarray,
     t2 = (jnp.diag(alphas2) + jnp.diag(betas2[:-1], 1)
           + jnp.diag(betas2[:-1], -1))
     theta2 = jnp.linalg.eigh(t2)[0][0]
-    missed_lower = probe_live & (theta2 < theta - 0.05)
+    missed_lower = probe_live & (theta2 < theta - probe_margin)
     return q_mat.T @ s[:, 0], residual, missed_lower
 
 
@@ -200,7 +205,8 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
     trustworthy (always for 'eigh'; for Lanczos: Ritz residual <= `ritz_tol` —
     the spectrum of L_sym lives in [0, 2], so 0.05 is a tight relative bound —
     AND the restarted complement probe found no lower eigenpair the primary
-    start vector missed; see `_fiedler_lanczos`).
+    start vector missed, with `ritz_tol` doubling as the probe's eigenvalue
+    margin; see `_fiedler_lanczos`).
     The reference's own failure mode here is an sklearn exception swallowed
     into the plain-mean fallback (`graph_matching.py:544-546`); the quality
     bit routes ambiguous solves to the same fallback instead of drifting
@@ -235,7 +241,8 @@ def spectral_bipartition(points: jnp.ndarray, valid: jnp.ndarray,
 
     if solver == "lanczos":
         fiedler, residual, missed_lower = _fiedler_lanczos(
-            lap, deg, fvalid, m=min(lanczos_steps, max(n - 1, 1)))
+            lap, deg, fvalid, m=min(lanczos_steps, max(n - 1, 1)),
+            probe_margin=ritz_tol)
         solve_ok = (residual <= ritz_tol) & ~missed_lower
     else:
         _, vecs = jnp.linalg.eigh(lap)

@@ -48,6 +48,12 @@ def build_optimizer(cfg: ComponentConfig,
     constants instead would be equivalent for milestones and constant warmup
     but would interpolate 'linear' warmup WITHIN an epoch, which the reference
     never does.)"""
+    if steps_per_epoch < 1:
+        # `count // 0` inside the jitted schedule would not raise — it yields
+        # an implementation-defined integer and silently trains at a garbage
+        # LR. Fail loudly at build time instead (a dataset smaller than the
+        # batch is the typical way a caller arrives at 0 here).
+        raise ValueError(f"steps_per_epoch must be >= 1, got {steps_per_epoch}")
     opt: OptimizerConfig = cfg.opt
     base_schedule = warmup_multistep_schedule(opt.lr, cfg.sch)
     if steps_per_epoch == 1:

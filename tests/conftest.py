@@ -42,3 +42,20 @@ assert jax.devices()[0].platform == "cpu", (
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} — XLA_FLAGS was "
     "probably consumed before conftest ran")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Drop jit caches after each test file. A single pytest process that has
+    accumulated the whole suite's compiled executables (~12 GB RSS, ~100
+    programs) can hard-abort ("Fatal Python error: Aborted" inside
+    pxla compile) when it then compiles the largest full-model mesh program —
+    observed on this host class in the round-5 full run; the same test passes
+    in a fresh process. Releasing executables between modules keeps within-
+    file compile reuse (where almost all reuse is) while preventing the
+    accumulation. Costs nothing measurable: cross-file jit cache hits are
+    rare because each file builds its own configs."""
+    yield
+    jax.clear_caches()

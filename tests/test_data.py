@@ -423,3 +423,9 @@ def test_build_infos(cardiac_tree, tmp_path):
     img, masks, _, _ = ds[0]
     assert img.shape == (32, 32, 1)
     assert masks.shape == (32, 32, 3)
+
+    # an EXPLICIT empty --mask-tokens means "no stems are labels" (so nothing
+    # pairs and the build reports failure); only an omitted flag falls back to
+    # the defaults (r5 review: `if args.mask_tokens` swallowed the empty list)
+    assert main(["--root", cardiac_tree, "--dry-run", "--mask-tokens"]) == 1
+    assert main(["--root", cardiac_tree, "--dry-run"]) == 0

@@ -256,6 +256,46 @@ def test_spectral_quality_flags_near_degenerate():
     assert bool(ok_scm)
 
 
+def test_spectral_missed_lower_probe_detects_blind_spot():
+    """r4 advisor: a start vector orthogonal to the Fiedler direction
+    exhausts the Krylov space with residual 0 and certifies the WRONG
+    eigenpair — the complement probe exists to catch exactly that. Build the
+    scenario deterministically: replicate the solver's hash-noise start x,
+    then craft a symmetric operator with eigenvalue 0 on the deflated v0,
+    0.1 on a direction orthogonal to BOTH v0 and x (invisible to the primary
+    solve), and 1.0 elsewhere."""
+    from graphecho_tpu.ops.spectral import _fiedler_lanczos
+
+    n = 32
+    fvalid = jnp.ones((n,), jnp.float32)
+    deg = jnp.ones((n,), jnp.float32)
+    v0 = jnp.ones((n,), jnp.float32) / jnp.sqrt(jnp.asarray(float(n)))
+    # the solver's own deterministic start (spectral.py), deflated against v0
+    i = jnp.arange(n, dtype=jnp.float32)
+    x = jnp.sin(i * 12.9898 + 78.233) * 43758.5453
+    x = x - jnp.floor(x) - 0.5
+    x = x - jnp.dot(v0, x) * v0
+    x = x / jnp.linalg.norm(x)
+    rng = np.random.RandomState(0)
+    vf = jnp.asarray(rng.randn(n).astype(np.float32))
+    vf = vf - jnp.dot(v0, vf) * v0
+    vf = vf - jnp.dot(x, vf) * x
+    vf = vf / jnp.linalg.norm(vf)
+    lap = (jnp.eye(n, dtype=jnp.float32) - jnp.outer(v0, v0)
+           - 0.9 * jnp.outer(vf, vf))  # spec: {0 on v0, 0.1 on vf, 1 else}
+
+    fied, residual, missed = _fiedler_lanczos(lap, deg, fvalid)
+    # primary space exhausts on the lambda=1 eigenspace: residual certifies...
+    assert float(residual) <= 0.05
+    # ...the wrong pair, and the probe is what catches it
+    assert bool(missed)
+    # margin wiring (r5): a margin wider than the 0.9 gap mutes the detector
+    # (spectral_bipartition passes its ritz_tol here, so detector resolution
+    # follows the caller's tolerance)
+    *_, missed_wide = _fiedler_lanczos(lap, deg, fvalid, probe_margin=1.0)
+    assert not bool(missed_wide)
+
+
 # ----------------------------------------------------------------- GModule
 def _toy_nodeset(rng, n, c, num_classes, n_valid):
     pts = rng.randn(n, c).astype(np.float32)

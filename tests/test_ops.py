@@ -118,6 +118,17 @@ def test_warmup_multistep_schedule_semantics():
     np.testing.assert_allclose(float(sch2(4)), 1.0)
 
 
+def test_build_optimizer_rejects_zero_steps_per_epoch():
+    """steps_per_epoch=0 (dataset smaller than the batch) must fail at build
+    time: `count // 0` inside the jitted schedule would NOT raise — it would
+    silently train at a garbage LR (r5 review)."""
+    from graphecho_tpu.config import ComponentConfig
+    from graphecho_tpu.train.schedule import build_optimizer
+
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        build_optimizer(ComponentConfig(), steps_per_epoch=0)
+
+
 def test_cosine_lr_parity():
     """Parity-only helper mirroring the reference's unused
     `adjust_learning_rate` (`train_camus_echo.py:419-423`):
